@@ -1,0 +1,181 @@
+"""End-to-end AMG CLI driver.
+
+Equivalent of the reference's main driver (reference examples/amg/main.rs):
+load or generate an SPD system, bootstrap a near-null basis, build the
+hierarchy + multigrid (or the full adaptive composite), solve with PCG and
+stationary iteration, and print the machine-readable final line
+
+    cg_iters sli_iters a_norm_of_e op_complexity
+
+(reference examples/amg/main.rs:471-474).
+
+Problems: either an MFEM dump directory (--data-dir/--name, same file
+formats as the reference) or generated anisotropic-diffusion / Poisson /
+elasticity systems (the reference's coefficient datasets are MFEM dumps
+of the same problem family, main.rs:123-140).
+"""
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="MFEM system directory (expects <name>.{mtx,bdy,coords,rhs})")
+    p.add_argument("--name", type=str, default="system")
+    p.add_argument("--problem", type=str, default="aniso2d",
+                   choices=["poisson2d", "poisson3d", "aniso2d", "elasticity3d"])
+    p.add_argument("--n", type=int, default=64, help="grid points per dim")
+    p.add_argument("--epsilon", type=float, default=1e-3)
+    p.add_argument("--theta", type=float, default=np.pi / 6)
+    p.add_argument("--coefficient", type=str, default="constant")
+    p.add_argument("--block-size", type=int, default=1)
+    p.add_argument("--coarsening-near-null-dim", type=int, default=64)
+    p.add_argument("--interp-near-null-dim", type=int, default=4,
+                   help="SA candidate dimension")
+    p.add_argument("--smoothing-iters", type=int, default=20)
+    p.add_argument("--interpolation", type=str, default="sa",
+                   choices=["sa", "classical"])
+    p.add_argument("--coarsening-factor", type=float, default=8.0)
+    p.add_argument("--aggregation-iters", type=int, default=200,
+                   help="partitioner improvement iterations")
+    p.add_argument("--max-iters", type=int, default=1000)
+    p.add_argument("--tol", type=float, default=1e-12)
+    p.add_argument("--block-smoother-size", type=float, default=128.0)
+    p.add_argument("--coarsest-dim", type=int, default=1000)
+    p.add_argument("--max-levels", type=int, default=None)
+    p.add_argument("--smoothing-steps", type=int, default=3)
+    p.add_argument("--mu", type=int, default=1)
+    p.add_argument("--composite", type=int, default=None,
+                   help="adaptive composite with N components")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p.parse_args()
+
+
+def load_problem(args):
+    from tpu_amg.utils import problems
+    from tpu_amg.utils.io import load_mfem_linear_system
+
+    if args.data_dir:
+        sys_ = load_mfem_linear_system(args.data_dir, args.name)
+        a = sys_.matrix.with_block_size(args.block_size)
+        rhs = sys_.rhs[:, 0] if sys_.rhs.size else np.ones(a.nrows)
+        return a, rhs
+    n = args.n
+    if args.problem == "poisson2d":
+        a = problems.poisson2d(n)
+    elif args.problem == "poisson3d":
+        a = problems.poisson3d(n)
+    elif args.problem == "aniso2d":
+        a = problems.anisotropic_diffusion_2d(
+            n, epsilon=args.epsilon, theta=args.theta,
+            coefficient=args.coefficient,
+        )
+    elif args.problem == "elasticity3d":
+        a = problems.elasticity_3d(n)
+    rhs = np.ones(a.nrows)
+    return a, rhs
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    import jax.numpy as jnp
+
+    from tpu_amg.adaptivity import AdaptiveConfig, find_near_null
+    from tpu_amg.hierarchy import HierarchyConfig, create_weights
+    from tpu_amg.interpolation import AggregationConfig, InterpolationConfig
+    from tpu_amg.linop import aslinearoperator
+    from tpu_amg.partition import PartitionerConfig
+    from tpu_amg.preconditioners.multigrid_builder import MultigridConfig
+    from tpu_amg.utils.testing import approx_convergence_factor, test_solver
+
+    a, rhs = load_problem(args)
+    print(f"system: n={a.nrows} nnz={a.nnz} block_size={a.block_size}",
+          file=sys.stderr)
+    key = jax.random.PRNGKey(args.seed)
+    t_setup = time.time()
+
+    interp = InterpolationConfig(
+        kind="aggregation" if args.interpolation == "sa" else "classical",
+        aggregation=AggregationConfig(
+            candidate_dimension=args.interp_near_null_dim,
+            partitioner_config=PartitionerConfig(
+                coarsening_factor=args.coarsening_factor,
+                max_improvement_iters=args.aggregation_iters,
+            ),
+        ),
+    )
+    hier_cfg = HierarchyConfig(
+        coarsest_dim=args.coarsest_dim,
+        interpolation_config=interp,
+        max_levels=args.max_levels,
+    )
+    mg_cfg = MultigridConfig(
+        mu=args.mu,
+        smoothing_steps=args.smoothing_steps,
+        smoother_partitioner=PartitionerConfig(
+            coarsening_factor=args.block_smoother_size,
+            max_improvement_iters=50,
+        ),
+    )
+    op = aslinearoperator(a)
+
+    if args.composite:
+        cfg = AdaptiveConfig(
+            hierarchy_config=hier_cfg,
+            multigrid_config=mg_cfg,
+            max_components=args.composite,
+            test_iters=args.smoothing_iters,
+            coarsening_near_null_dim=args.coarsening_near_null_dim,
+        )
+        pc = cfg.build(a, key)
+        op_complexity = float("nan")  # per-component hierarchies
+    else:
+        k_nn, key = jax.random.split(key)
+        nn = find_near_null(
+            a, args.smoothing_iters, args.coarsening_near_null_dim - 1,
+            args.block_smoother_size, k_nn,
+        )
+        basis, _ = np.linalg.qr(
+            np.concatenate([np.ones((a.nrows, 1)), nn], axis=1)
+        )
+        weights = create_weights(a, basis)
+        hierarchy = hier_cfg.build(a, basis, weights)
+        print(repr(hierarchy), file=sys.stderr)
+        pc = mg_cfg.build(hierarchy)
+        op_complexity = hierarchy.op_complexity()
+    print(f"setup: {time.time() - t_setup:.1f}s", file=sys.stderr)
+
+    t_solve = time.time()
+    k_guess, key = jax.random.split(key)
+    x0 = jax.random.normal(k_guess, (a.nrows,), dtype=jnp.float64)
+    report = test_solver(
+        op, pc, jnp.asarray(rhs), x0, rtol=args.tol, maxiter=args.max_iters
+    )
+    print(
+        f"solve: {time.time() - t_solve:.1f}s  cg_converged={report.cg_converged} "
+        f"sli_converged={report.sli_converged}",
+        file=sys.stderr,
+    )
+    a_norm_e = approx_convergence_factor(op, pc, key)
+    # machine-readable final line (reference examples/amg/main.rs:471-474)
+    print(f"{report.cg_iters} {report.sli_iters} {a_norm_e:.6f} "
+          f"{op_complexity:.6f}")
+
+
+if __name__ == "__main__":
+    main()

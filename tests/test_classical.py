@@ -1,0 +1,123 @@
+"""Classical AMG: compatible relaxation + LS interpolation
+(SURVEY.md §7 stage 7)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_amg.interpolation.classical import (
+    ClassicalConfig,
+    CompatibleRelaxationConfig,
+    LeastSquaresConfig,
+    compatible_relaxation,
+    ls_interp_weights,
+    _C,
+    _F,
+)
+from tpu_amg.linop import aslinearoperator
+from tpu_amg.partition import Partition, strength_graph
+from tpu_amg.solvers import cg
+from tpu_amg.utils.problems import poisson1d, poisson2d
+
+
+class TestLsWeights:
+    def test_single_candidate_exact(self):
+        # one candidate equal to vf: weight 1, error ~0
+        vf = np.array([1.0, 2.0])
+        vc = np.array([[1.0, 2.0]])
+        w, s, err = ls_interp_weights(vf, vc, np.ones(2), 3, 1.2, "constrained")
+        assert s == [0]
+        np.testing.assert_allclose(w, [1.0], atol=1e-8)
+        assert err < 1e-12
+
+    def test_prefers_smaller_sets(self):
+        # two identical candidates: a single one suffices; tau acceptance
+        # must not pick the redundant pair
+        vf = np.array([1.0, 0.0])
+        vc = np.array([[1.0, 0.0], [1.0, 1e-8]])
+        w, s, err = ls_interp_weights(vf, vc, np.ones(2), 2, 1.2, "constrained")
+        assert len(s) == 1
+
+    def test_convex_combination(self):
+        # vf midway between two candidates: weights (0.5, 0.5), sum <= 1
+        vf = np.array([0.5, 0.5])
+        vc = np.array([[1.0, 0.0], [0.0, 1.0]])
+        w, s, err = ls_interp_weights(vf, vc, np.ones(2), 3, None, "constrained")
+        assert sorted(s) == [0, 1]
+        np.testing.assert_allclose(sorted(w), [0.5, 0.5], atol=1e-8)
+
+    def test_regularized_allows_negative(self):
+        vf = np.array([2.0, -1.0])
+        vc = np.array([[1.0, 0.0], [0.0, 1.0]])
+        w, s, err = ls_interp_weights(vf, vc, np.ones(2), 3, None, "regularized")
+        assert len(s) == 2
+        # ridge-regularized, so close to (2, -1) but shrunk
+        assert w[s.index(0)] > 1.0
+        assert w[s.index(1)] < 0.0
+
+
+class TestCompatibleRelaxation:
+    def test_selects_c_points_and_converges(self):
+        a = poisson2d(8)
+        nn = np.ones((64, 1))
+        g = strength_graph(a, nn, np.ones(1), max_depth=2)
+        smoother_part = Partition(np.arange(64) // 16)
+        state = compatible_relaxation(
+            a, g, smoother_part, CompatibleRelaxationConfig()
+        )
+        c = (state == _C).sum()
+        assert 0 < c < 64  # proper subset selected
+
+
+class TestClassicalBuild:
+    @pytest.fixture(scope="class")
+    def coarse(self):
+        from tests.test_sa import near_null_smooth
+
+        a = poisson2d(10)
+        nn = near_null_smooth(a, k=4, iters=15)
+        cfg = ClassicalConfig(smoother_coarsening_factor=25.0)
+        return a, cfg.build(a, nn, np.ones(4))
+
+    def test_identity_rows_at_c_points(self, coarse):
+        a, g = coarse
+        p = g.interpolation.to_dense()
+        for ci, fi in enumerate(g.partition.c_points):
+            row = p[fi]
+            assert row[ci] == 1.0
+            assert np.abs(row).sum() == 1.0
+
+    def test_coarse_spd(self, coarse):
+        a, g = coarse
+        ac = g.coarse_mat.to_dense()
+        np.testing.assert_allclose(ac, ac.T, atol=1e-10)
+        assert np.linalg.eigvalsh(ac).min() > 0
+
+    def test_coarse_nn_is_fine_at_c(self, coarse):
+        a, g = coarse
+        assert g.coarse_nn.shape == (len(g.partition.c_points), 4)
+
+    def test_two_grid_preconditioner_works(self, coarse):
+        a, g = coarse
+        from tpu_amg.linop import SparseOperator
+        from tpu_amg.preconditioners import Level, Multigrid, build_smoother
+        from tpu_amg.preconditioners.coarse import DenseCholeskySolver
+
+        op = aslinearoperator(a)
+        lvl = Level(
+            a=op,
+            smoother=build_smoother("l1", op.ell),
+            r=SparseOperator.from_csr(g.restriction),
+            p=SparseOperator.from_csr(g.interpolation),
+        )
+        mg = Multigrid(
+            levels=(lvl,),
+            coarse_solver=DenseCholeskySolver.build(g.coarse_mat),
+            smoothing_steps=2,
+        )
+        b = jnp.ones(100)
+        _, info = cg(op, b, mg, rtol=1e-10)
+        # two-grid must beat the bare smoother it embeds
+        _, smoother_only = cg(op, b, lvl.smoother, rtol=1e-10)
+        assert bool(info.converged)
+        assert int(info.iters) < int(smoother_only.iters)

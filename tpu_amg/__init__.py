@@ -1,0 +1,46 @@
+"""tpu-amg: a TPU-native adaptive algebraic multigrid framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of the Rust
+``faer-amg`` reference (adaptive smoothed-aggregation + classical AMG
+preconditioning for sparse SPD systems), designed TPU-first:
+
+- sparse containers are immutable pytrees (CSR for host setup, padded ELL /
+  blocked-ELL for the TPU compute path),
+- the hot SpMV/SpMM path runs as fused XLA gathers or Pallas kernels,
+- smoothers are batched dense solves (MXU-friendly),
+- hierarchy setup (strength graph, modularity aggregation, tentative +
+  smoothed P, Galerkin RAP) runs as host-side graph algorithms + batched
+  XLA linear algebra,
+- multi-chip scaling uses `jax.sharding` meshes with row-partitioned levels.
+
+Double precision is enabled at import: the reference library is f64
+throughout (faer ``SparseRowMat<usize, f64>``, reference core.rs:13-17) and
+AMG setup/solve tolerances (1e-12) require it.  TPU hot paths explicitly
+request f32/bf16 where appropriate.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from tpu_amg import sparse  # noqa: E402
+from tpu_amg.linop import (  # noqa: E402
+    LinearOperator,
+    SparseOperator,
+    DenseOperator,
+    ComposedOperator,
+    ScaledIdentity,
+    aslinearoperator,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "sparse",
+    "LinearOperator",
+    "SparseOperator",
+    "DenseOperator",
+    "ComposedOperator",
+    "ScaledIdentity",
+    "aslinearoperator",
+]

@@ -1,0 +1,175 @@
+"""Adaptive (bootstrap) AMG: near-null discovery + composite enrichment.
+
+Reference ``AdaptiveConfig`` / ``find_near_null`` / ``smooth_vector``
+(adaptivity.rs:25-390):
+
+1. ``find_near_null``: smooth ``near_null_dim`` random vectors with the
+   l1-Jacobi error propagator E = I − M⁻¹A (QR re-orthonormalization
+   between every sweep), build a BlockSmoother from the resulting basis
+   (partition cf = smoothing block size), and smooth again with it.
+2. Prepend the constant vector and thin-QR the basis; weights
+   wₖ = 1/(vₖᵀAvₖ).
+3. Build hierarchy + multigrid, wrap in a multiplicative Composite.
+4. Enrichment loop: smooth fresh random vectors through the *current
+   composite's* error propagator, use the smoothed basis + measured
+   per-vector convergence factors as the next component's
+   near-null/weights, push the component (up to max_components).
+
+TPU-native: ``smooth_vector`` is a single jitted loop of
+SpMM → preconditioner application → tall-skinny QR, all batched over the
+candidate vectors (the setup hot path, SURVEY.md §3.1).  RNG uses
+explicit JAX PRNG keys (the reference's library-side RNG is unseeded —
+SURVEY.md Appendix B — which we fix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.hierarchy import Hierarchy, HierarchyConfig, create_weights
+from tpu_amg.linop import DiagonalOperator, LinearOperator, aslinearoperator
+from tpu_amg.partition import PartitionerConfig
+from tpu_amg.preconditioners.block_smoother import BlockSmoother
+from tpu_amg.preconditioners.composite import Composite
+from tpu_amg.preconditioners.multigrid_builder import MultigridConfig
+from tpu_amg.preconditioners.smoothers import l1_inverse_diag
+from tpu_amg.sparse import CSR
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
+    """iterations × (x ← QR(E x)) plus per-column convergence factors."""
+
+    def body(_, x):
+        ex = x - m.mm(a.mm(x))
+        q, _ = jnp.linalg.qr(ex)
+        return q
+
+    x, _ = jnp.linalg.qr(x0)
+    x = jax.lax.fori_loop(0, iterations, body, x)
+    ax = a.mm(x)
+    w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
+    ev = x - m.mm(ax)
+    aev = a.mm(ev)
+    ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
+    return x, ev_norms / w_norms
+
+
+def smooth_vector(
+    a: LinearOperator,
+    m: LinearOperator,
+    iterations: int,
+    near_null_dim: int,
+    key,
+):
+    """Reference smooth_vector (adaptivity.rs:307-390).
+
+    Returns (basis (n, near_null_dim) ndarray, convergence factors (k,)).
+    """
+    n = a.shape[0]
+    x0 = jax.random.normal(key, (n, near_null_dim), dtype=jnp.float64)
+    x, cfs = _smooth_loop(a, m, x0, iterations)
+    return np.asarray(x), np.asarray(cfs)
+
+
+def find_near_null(
+    a: CSR,
+    iterations: int,
+    near_null_dim: int,
+    smoothing_block_size: float,
+    key,
+) -> np.ndarray:
+    """Two-phase near-null bootstrap (reference adaptivity.rs:264-305)."""
+    op = aslinearoperator(a)
+    l1 = DiagonalOperator(diag=l1_inverse_diag(op.ell))
+    k1, k2 = jax.random.split(key)
+    basis, _ = smooth_vector(op, l1, iterations, near_null_dim, k1)
+
+    p_cfg = PartitionerConfig(
+        coarsening_factor=min(
+            smoothing_block_size, max(a.nrows / a.block_size / 2.0, 1.0)
+        ),
+        max_improvement_iters=50,
+    )
+    weights = create_weights(a, basis)
+    partition = p_cfg.build_partition(a, basis, weights).expand_blocks(
+        a.block_size
+    )
+    block_pc = BlockSmoother.build(a, partition)
+    basis, cfs = smooth_vector(op, block_pc, iterations, near_null_dim, k2)
+    logger.info(
+        "find_near_null: ||Ev||_A factors %s",
+        np.array2string(cfs, precision=2),
+    )
+    return basis
+
+
+@dataclasses.dataclass
+class AdaptiveConfig:
+    """Defaults (adaptivity.rs:36-48): max_components 5, test_iters 50,
+    coarsening_near_null_dim 32, constant prepended."""
+
+    hierarchy_config: HierarchyConfig = dataclasses.field(
+        default_factory=HierarchyConfig
+    )
+    multigrid_config: MultigridConfig = dataclasses.field(
+        default_factory=MultigridConfig
+    )
+    target_convergence: Optional[float] = None  # unused (parity with ref)
+    max_components: int = 5
+    test_iters: int = 50
+    coarsening_near_null_dim: int = 32
+    include_constant_first_near_null: bool = True
+
+    def build(self, a: CSR, key=None) -> Composite:
+        """Reference AdaptiveConfig::build (adaptivity.rs:50-165)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_nn, k_loop = jax.random.split(key)
+        dim = self.coarsening_near_null_dim
+        nn = find_near_null(
+            a,
+            self.test_iters,
+            dim - 1,
+            self.multigrid_config.smoother_partitioner.coarsening_factor,
+            k_nn,
+        )
+        if self.include_constant_first_near_null:
+            with_const = np.concatenate([np.ones((a.nrows, 1)), nn], axis=1)
+        else:
+            with_const = np.concatenate([nn, nn[:, :1]], axis=1)
+        basis, _ = np.linalg.qr(with_const)
+        weights = create_weights(a, basis)
+        logger.info("nn weights: %s", np.array2string(weights, precision=2))
+
+        hierarchy = self.hierarchy_config.build(a, basis, weights)
+        logger.info("hierarchy 1:\n%r", hierarchy)
+        first = self.multigrid_config.build(hierarchy)
+        composite = Composite(a=aslinearoperator(a), components=(first,))
+
+        for n_components in range(1, self.max_components):
+            k_loop, k_iter = jax.random.split(k_loop)
+            iters = max(self.test_iters // (2 * n_components - 1), 1)
+            smoothed, cfs = smooth_vector(
+                composite.a, composite, iters, dim, k_iter
+            )
+            n_vcycles = 2 * n_components - 1
+            logger.info(
+                "component %d: ||Ev||_A^(1/%d) = %s",
+                n_components,
+                n_vcycles,
+                np.array2string(cfs ** (1.0 / n_vcycles), precision=2),
+            )
+            hierarchy = self.hierarchy_config.build(a, smoothed, cfs)
+            logger.info("hierarchy %d:\n%r", n_components + 1, hierarchy)
+            component = self.multigrid_config.build(hierarchy)
+            composite = composite.push(component)
+        return composite

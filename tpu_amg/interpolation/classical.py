@@ -1,0 +1,387 @@
+"""Classical AMG coarsening: compatible relaxation + least-squares
+interpolation.
+
+Reference ``ClassicalConfig`` + ``least_squares``
+(interpolation/mod.rs:159-728):
+
+**Compatible relaxation** (mod.rs:574-652): grow the C-point set by
+maximal independent sets over the strength graph until relaxation on the
+F-point subsystem A_F (C rows/cols identity-zeroed) contracts u₀ = 1 by
+at least ``target_convergence`` per sweep; after each round, points that
+relax slowly (σᵢ = |uᵢ|/‖u‖∞ > 1−ρ) are re-flagged as candidate F.
+
+**LS interpolation** (mod.rs:654-709 + 433-510): for each non-C point,
+candidate C-set = C-points within graph distance ``search_depth +
+depth_ls``; enumerate all subsets up to ``max_interp``, solving per
+subset either a constrained QP (weights ≥ 0, Σ ≤ 1: unconstrained
+pseudo-inverse first, then the Σ=1 KKT system) or ridge-regularized LS;
+accept a larger set only if err < accepted_err^(τ·Δr), τ = 1.2.
+
+TPU-first deviation: subset solves are *batched* — for each point and
+subset size r, all C(L, r) Gram subsystems are solved as one batched
+pseudo-inverse/KKT solve instead of the reference's per-subset loop.
+Numerics are identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import combinations
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.interpolation.sa import GalerkinCoarse
+from tpu_amg.linop import aslinearoperator
+from tpu_amg.partition import Partition, PartitionerConfig, strength_graph
+from tpu_amg.preconditioners.block_smoother import BlockSmoother
+from tpu_amg.preconditioners.smoothers import ErrorPropagator
+from tpu_amg.sparse import CSR, spgemm
+from tpu_amg.sparse.ops import from_coo
+
+# weight-validation constants (reference mod.rs:363-365, 394-396)
+MIN_ABS = 1e-10
+MIN_REL = 1e-2
+FEAS_TOL = 1e-12
+RIDGE_ETA = 1e-2
+
+# point states
+_F, _C, _N = 0, 1, 2
+
+
+@dataclasses.dataclass
+class CompatibleRelaxationConfig:
+    """Defaults: target 0.3, 5 relax steps (mod.rs:236-243)."""
+
+    target_convergence: float = 0.3
+    relax_steps: int = 5
+    max_iters: int = 50  # safety cap (the reference loops unboundedly)
+
+
+@dataclasses.dataclass
+class LeastSquaresConfig:
+    """Defaults: search 3, depth_ls 2, max_interp 3, τ 1.2
+    (mod.rs:215-232)."""
+
+    search_depth: int = 3
+    depth_ls: int = 2
+    solver: str = "constrained"  # or "regularized"
+    max_interp: int = 3
+    tau_threshold: float = 1.2
+
+
+@dataclasses.dataclass
+class ClassicalConfig:
+    cr_options: CompatibleRelaxationConfig = dataclasses.field(
+        default_factory=CompatibleRelaxationConfig
+    )
+    ls_options: LeastSquaresConfig = dataclasses.field(
+        default_factory=LeastSquaresConfig
+    )
+    smoother_coarsening_factor: float = 256.0  # mod.rs:172-178
+
+    def build(self, a: CSR, near_null, nn_weights) -> GalerkinCoarse:
+        near_null = np.asarray(near_null, dtype=np.float64)
+        if near_null.ndim == 1:
+            near_null = near_null[:, None]
+        smoother_cfg = PartitionerConfig(
+            coarsening_factor=min(self.smoother_coarsening_factor, a.nrows / 2)
+        )
+        smoother_partition = smoother_cfg.build_partition(
+            a, near_null, nn_weights
+        ).expand_blocks(a.block_size)
+        return least_squares_interpolation(
+            a,
+            smoother_partition,
+            near_null,
+            np.asarray(nn_weights, dtype=np.float64),
+            self.cr_options,
+            self.ls_options,
+        )
+
+
+# ----------------------------------------------------------------------
+# compatible relaxation
+# ----------------------------------------------------------------------
+def compatible_relaxation(
+    a: CSR,
+    graph,
+    smoother_partition: Partition,
+    cr: CompatibleRelaxationConfig,
+) -> np.ndarray:
+    """Select C-points; returns the point-state array (F/C/N)
+    (reference mod.rs:574-652)."""
+    n = a.nrows
+    u0 = np.ones(n)
+    state = np.full(n, _F, dtype=np.int8)
+    reduction = 1.0
+    for _ in range(cr.max_iters):
+        if reduction <= cr.target_convergence:
+            break
+        f_mask = state == _F
+        if f_mask.any():
+            new_c = graph.maximal_independent_set(f_mask.copy())
+            state[new_c] = _C
+        # A_F: C rows/cols zeroed, unit diagonal at C
+        not_c = (state != _C).astype(np.float64)
+        rows, cols, vals = a.coo()
+        vals_f = vals * not_c[rows] * not_c[cols]
+        c_idx = np.flatnonzero(state == _C)
+        rows_f = np.concatenate([rows, c_idx])
+        cols_f = np.concatenate([cols, c_idx])
+        vals_f = np.concatenate([vals_f, np.ones(len(c_idx))])
+        a_f = CSR.from_coo(rows_f, cols_f, vals_f, a.shape).eliminate_zeros()
+
+        m_f = BlockSmoother.build(a_f, smoother_partition)
+        e = ErrorPropagator(
+            a=aslinearoperator(a_f), m=m_f, iters=cr.relax_steps
+        )
+        u = not_c * u0
+        start_norm = np.linalg.norm(u)
+        u = np.asarray(e.mv(jnp.asarray(u)))
+        end_norm = np.linalg.norm(u)
+        reduction = (end_norm / max(start_norm, 1e-300)) ** (
+            1.0 / cr.relax_steps
+        )
+        # re-flag slow-to-converge points (mod.rs:636-646)
+        tol = 1.0 - reduction
+        inf_norm = np.abs(u).max()
+        sigma = np.abs(u) / max(inf_norm, 1e-300)
+        slow = sigma > tol
+        state = np.where(slow & (state != _C), _F, state)
+        state = np.where((~slow) & (state == _F), _N, state).astype(np.int8)
+    return state
+
+
+# ----------------------------------------------------------------------
+# LS weight solvers (batched over subsets)
+# ----------------------------------------------------------------------
+def _batched_pinv_solve(gram: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """x = pinv(G) @ rhs for batched (s, r, r) and (s, r)."""
+    w, q = np.linalg.eigh(gram)
+    cutoff = (
+        np.maximum(np.abs(w).max(axis=1), 1e-300)[:, None]
+        * gram.shape[1]
+        * np.finfo(np.float64).eps
+    )
+    inv_w = np.where(np.abs(w) > cutoff, 1.0 / np.where(w == 0, 1.0, w), 0.0)
+    return np.einsum("sij,sj,skj,sk->si", q, inv_w, q, rhs)
+
+
+def _eval_err(gram, p, g, btb):
+    quad = np.einsum("si,sij,sj->s", p, gram, p)
+    lin = np.einsum("si,si->s", g, p)
+    return btb + quad - 2.0 * lin
+
+
+def _validate_constrained(p: np.ndarray) -> np.ndarray:
+    """(s,) bool mask: finite, ≥ min_abs, Σ ≤ 1+feas, ≥ min_rel·max
+    (reference validate_weights_constrained, mod.rs:311-335)."""
+    finite = np.isfinite(p).all(axis=1)
+    pos = (p >= MIN_ABS).all(axis=1)
+    sums = p.sum(axis=1) <= 1.0 + FEAS_TOL
+    maxw = p.max(axis=1, initial=0.0)
+    rel = (p >= MIN_REL * maxw[:, None]).all(axis=1)
+    return finite & pos & sums & rel
+
+
+def _validate_regularized(p: np.ndarray) -> np.ndarray:
+    """|p| version for the regularized path (mod.rs:293-309)."""
+    finite = np.isfinite(p).all(axis=1)
+    absp = np.abs(p)
+    big = (absp >= MIN_ABS).all(axis=1)
+    maxw = absp.max(axis=1, initial=0.0)
+    rel = (absp >= MIN_REL * maxw[:, None]).all(axis=1)
+    return finite & big & rel
+
+
+def _solve_subsets_constrained(gram_ff, gf, btb):
+    """Constrained QP per subset: pinv candidate, then Σ=1 KKT candidate
+    (reference constrained_subset_qp, mod.rs:387-431).  Returns
+    (weights (s, r), err (s,), valid (s,))."""
+    s, r = gf.shape
+    p_a = _batched_pinv_solve(gram_ff, gf)
+    ok_a = _validate_constrained(p_a)
+
+    # KKT: [[G, 1], [1ᵀ, 0]] [p; λ] = [g; 1]
+    kkt = np.ones((s, r + 1, r + 1))
+    kkt[:, :r, :r] = gram_ff
+    kkt[:, r, r] = 0.0
+    rhs = np.ones((s, r + 1))
+    rhs[:, :r] = gf
+    sol = _batched_pinv_solve(kkt, rhs)
+    p_b = sol[:, :r]
+    ok_b = _validate_constrained(p_b)
+
+    p = np.where(ok_a[:, None], p_a, p_b)
+    valid = ok_a | ok_b
+    err = _eval_err(gram_ff, p, gf, btb)
+    return p, err, valid
+
+
+def _solve_subsets_regularized(gram_ff, gf, btb):
+    """Ridge-regularized LS per subset (reference weighted_least_squares,
+    mod.rs:358-385): λ = η·λ_max(G), p = pinv(G + λI) g."""
+    r = gf.shape[1]
+    lam = RIDGE_ETA * np.linalg.eigvalsh(gram_ff)[:, -1]
+    reg = gram_ff + lam[:, None, None] * np.eye(r)
+    p = _batched_pinv_solve(reg, gf)
+    valid = _validate_regularized(p)
+    err = _eval_err(gram_ff, p, gf, btb)
+    return p, err, valid
+
+
+def ls_interp_weights(
+    vf: np.ndarray,
+    vc: np.ndarray,
+    d: np.ndarray,
+    max_interp: int,
+    gamma: Optional[float],
+    mode: str,
+):
+    """Best interpolation subset + weights for one fine point
+    (reference ls_interp_weights, mod.rs:433-510).
+
+    Returns (weights, set indices into vc rows, err)."""
+    ell = vc.shape[0]
+    vc_d = vc * d
+    gram = vc_d @ vc.T
+    g = vc_d @ vf
+    btb = float(vf @ (d * vf))
+
+    accepted_w = np.zeros(0)
+    accepted_set: list = []
+    accepted_err = btb
+    solver = (
+        _solve_subsets_constrained
+        if mode == "constrained"
+        else _solve_subsets_regularized
+    )
+
+    for r in range(1, min(ell, max_interp) + 1):
+        idx = np.array(list(combinations(range(ell), r)), dtype=np.int64)
+        gram_ff = gram[idx[:, :, None], idx[:, None, :]]
+        gf = g[idx]
+        p, err, valid = solver(gram_ff, gf, btb)
+        if not valid.any():
+            continue
+        err = np.where(valid, err, np.inf)
+        best = int(np.argmin(err))
+        best_err = float(err[best])
+        if gamma is None:
+            accept = best_err < accepted_err
+        else:
+            dr = r - len(accepted_set)
+            accept = best_err < accepted_err ** (gamma * dr)
+        if accept:
+            accepted_w = p[best]
+            accepted_set = idx[best].tolist()
+            accepted_err = best_err
+    return accepted_w, accepted_set, accepted_err
+
+
+# ----------------------------------------------------------------------
+# full classical coarsening
+# ----------------------------------------------------------------------
+class CoarseFineSplit(Partition):
+    """C/F split exposed as a Partition-like object: aggregate g = the
+    g-th C-point plus the F-points it interpolates from is not tracked;
+    instead we keep the sorted C-point list (reference CoarseFineSplit,
+    mod.rs:512-537)."""
+
+    def __init__(self, c_points: np.ndarray, n: int):
+        self.c_points = np.sort(np.asarray(c_points, dtype=np.int64))
+        node_to_agg = np.zeros(n, dtype=np.int64)
+        node_to_agg[self.c_points] = np.arange(len(self.c_points))
+        # F-points nominally belong to the nearest C aggregate only for
+        # stats; store a trivial map: own C id for C-points, 0 otherwise.
+        super().__init__(node_to_agg)
+        self.n_fine = n
+
+    def coarse_idx(self, fine_idx: int) -> Optional[int]:
+        pos = np.searchsorted(self.c_points, fine_idx)
+        if pos < len(self.c_points) and self.c_points[pos] == fine_idx:
+            return int(pos)
+        return None
+
+
+def least_squares_interpolation(
+    a: CSR,
+    smoother_partition: Partition,
+    near_null: np.ndarray,
+    nn_weights: np.ndarray,
+    cr: CompatibleRelaxationConfig,
+    ls: LeastSquaresConfig,
+) -> GalerkinCoarse:
+    """Reference ``least_squares`` (mod.rs:539-728)."""
+    n = a.nrows
+    k = near_null.shape[1]
+    d = nn_weights[:k]
+    graph = strength_graph(a, near_null, nn_weights, ls.search_depth)
+    state = compatible_relaxation(a, graph, smoother_partition, cr)
+
+    c_points = np.flatnonzero(state == _C)
+    n_coarse = len(c_points)
+    if n_coarse == 0:
+        raise RuntimeError("compatible relaxation selected no C-points")
+    split = CoarseFineSplit(c_points, n)
+    coarse_nn = near_null[split.c_points]
+
+    # candidate search: C-points within distance search_depth + depth_ls
+    reach = _reach_matrix(a, ls.search_depth + ls.depth_ls)
+    is_c = state == _C
+
+    rows_p = list(split.c_points)
+    cols_p = list(range(n_coarse))
+    vals_p = [1.0] * n_coarse
+    c_rank = -np.ones(n, dtype=np.int64)
+    c_rank[split.c_points] = np.arange(n_coarse)
+
+    indptr, indices = reach.indptr, reach.indices
+    for i in range(n):
+        if is_c[i]:
+            continue
+        neigh = indices[indptr[i] : indptr[i + 1]]
+        cand = neigh[is_c[neigh]]
+        if len(cand) == 0:
+            continue
+        weights, subset, _ = ls_interp_weights(
+            near_null[i],
+            near_null[cand],
+            d,
+            ls.max_interp,
+            ls.tau_threshold,
+            ls.solver,
+        )
+        for w, local in zip(weights, subset):
+            rows_p.append(i)
+            cols_p.append(int(c_rank[cand[local]]))
+            vals_p.append(float(w))
+
+    p = from_coo(rows_p, cols_p, vals_p, (n, n_coarse))
+    r = p.transpose()
+    coarse_mat = spgemm(r, spgemm(a, p)).with_block_size(1)
+    return GalerkinCoarse(
+        interpolation=p,
+        restriction=r,
+        coarse_mat=coarse_mat,
+        coarse_nn=coarse_nn,
+        partition=split,
+        kind="classical",
+    )
+
+
+def _reach_matrix(a: CSR, depth: int):
+    import scipy.sparse as sps
+
+    b = a.to_scipy().tocsr()
+    b.data = np.ones_like(b.data)
+    b.setdiag(1.0)
+    reach = b
+    for _ in range(depth - 1):
+        reach = reach @ b
+        reach.data = np.ones_like(reach.data)
+    reach.setdiag(0.0)
+    reach.eliminate_zeros()
+    return reach.tocsr()

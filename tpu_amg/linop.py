@@ -1,0 +1,203 @@
+"""Matrix-free linear-operator protocol (pytree-based).
+
+The reference writes everything against faer's ``LinOp`` / ``BiLinOp`` /
+``Precond`` / ``BiPrecond`` trait objects (reference utils.rs:553-633,
+multigrid.rs:426-518, smoothers.rs:129-212).  The JAX-native analog is an
+immutable pytree with ``mv`` (matvec) / ``mm`` (matmat) / ``rmv``
+(transpose-matvec) methods: operators nest freely, pass through ``jit``
+boundaries as arguments, and differentiate/vmap like any other pytree.
+
+All operators in this library are real; symmetric operators implement
+``rmv = mv`` (the reference's ``conj_apply = apply`` pattern,
+par_spmm.rs:135-159).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.sparse.csr import CSR
+from tpu_amg.sparse.ell import ELL
+
+
+class LinearOperator:
+    """Mixin/protocol: subclasses provide ``shape``, ``mv``; get the rest."""
+
+    shape: Tuple[int, int]
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def mv(self, x):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def mm(self, xs):
+        """Matmat; default maps mv over columns. Override when a fused
+        multi-vector path exists (e.g. ELL SpMM)."""
+        return jax.vmap(self.mv, in_axes=1, out_axes=1)(xs)
+
+    def rmv(self, x):
+        """Transpose matvec. Default: operator is symmetric."""
+        return self.mv(x)
+
+    def rmm(self, xs):
+        return jax.vmap(self.rmv, in_axes=1, out_axes=1)(xs)
+
+    def __call__(self, x):
+        return self.mm(x) if x.ndim > 1 else self.mv(x)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseOperator(LinearOperator):
+    """Square/rectangular sparse operator over an ELL matrix.
+
+    Role of the reference's ``SparseMatOp``/``ParSpmmOp`` (core.rs:56-101,
+    par_spmm.rs:135-159).  For rectangular operators used in both
+    directions (P and R), ``ell_t`` holds the materialized transpose —
+    mirroring the reference, which materializes R = Pᵀ
+    (interpolation/mod.rs:824-827).
+    """
+
+    ell: ELL
+    ell_t: ELL | None = None
+
+    @property
+    def shape(self):
+        return self.ell.shape
+
+    @property
+    def block_size(self):
+        return self.ell.block_size
+
+    def mv(self, x):
+        return self.ell.mv(x)
+
+    def mm(self, xs):
+        return self.ell.mm(xs)
+
+    def rmv(self, x):
+        if self.ell_t is not None:
+            return self.ell_t.mv(x)
+        if self.shape[0] != self.shape[1]:
+            raise ValueError("rmv on rectangular SparseOperator without ell_t")
+        return self.ell.mv(x)
+
+    def rmm(self, xs):
+        if self.ell_t is not None:
+            return self.ell_t.mm(xs)
+        if self.shape[0] != self.shape[1]:
+            raise ValueError("rmm on rectangular SparseOperator without ell_t")
+        return self.ell.mm(xs)
+
+    @staticmethod
+    def from_csr(csr: CSR, dtype=jnp.float64, with_transpose: bool = False):
+        ell = ELL.from_csr(csr, dtype=dtype)
+        ell_t = (
+            ELL.from_csr(csr.transpose(), dtype=dtype) if with_transpose else None
+        )
+        return SparseOperator(ell=ell, ell_t=ell_t)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseOperator(LinearOperator):
+    mat: jax.Array
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    def mv(self, x):
+        return self.mat @ x
+
+    def mm(self, xs):
+        return self.mat @ xs
+
+    def rmv(self, x):
+        return self.mat.T @ x
+
+    def rmm(self, xs):
+        return self.mat.T @ xs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiagonalOperator(LinearOperator):
+    """diag(d) — the diagonal smoothers' M⁻¹ (reference smoothers.rs:88-127)."""
+
+    diag: jax.Array
+
+    @property
+    def shape(self):
+        return (self.diag.shape[0], self.diag.shape[0])
+
+    def mv(self, x):
+        return self.diag * x
+
+    def mm(self, xs):
+        return self.diag[:, None] * xs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScaledIdentity(LinearOperator):
+    scale: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def mv(self, x):
+        return self.scale * x
+
+    def mm(self, xs):
+        return self.scale * xs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ComposedOperator(LinearOperator):
+    """B ∘ A: y = B(A(x)). rmv = Aᵀ Bᵀ."""
+
+    a: LinearOperator
+    b: LinearOperator
+
+    @property
+    def shape(self):
+        return (self.b.shape[0], self.a.shape[1])
+
+    def mv(self, x):
+        return self.b.mv(self.a.mv(x))
+
+    def mm(self, xs):
+        return self.b.mm(self.a.mm(xs))
+
+    def rmv(self, x):
+        return self.a.rmv(self.b.rmv(x))
+
+    def rmm(self, xs):
+        return self.a.rmm(self.b.rmm(xs))
+
+
+def aslinearoperator(x, dtype=jnp.float64) -> LinearOperator:
+    if isinstance(x, LinearOperator):
+        return x
+    if isinstance(x, ELL):
+        return SparseOperator(ell=x)
+    if isinstance(x, CSR):
+        return SparseOperator.from_csr(x, dtype=dtype)
+    if isinstance(x, (np.ndarray, jax.Array)):
+        return DenseOperator(mat=jnp.asarray(x, dtype=dtype))
+    raise TypeError(f"cannot convert {type(x)} to LinearOperator")

@@ -1,0 +1,186 @@
+"""Row-partitioned sharding of ELL operators and multigrid hierarchies.
+
+Idiomatic pjit design ("pick a mesh, annotate shardings, let XLA insert
+collectives"): the ELL ``data``/``cols`` arrays are sharded over rows,
+vectors over their single axis; every solver/cycle in this library is
+already pure jnp, so running it under jit on sharded inputs partitions
+the row-local work and inserts all-gathers for the x[cols] gathers and
+psums for dot products.  Coarse levels below a size threshold are
+replicated (the reference's single-node analog is the ParSpmm wrap
+threshold, multigrid.rs:152-159).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_amg.linop import SparseOperator
+from tpu_amg.preconditioners.block_smoother import BlockSmoother
+from tpu_amg.preconditioners.multigrid import Level, Multigrid
+from tpu_amg.sparse.ell import ELL
+
+
+def make_solver_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+
+
+def pad_ell_identity(ell: ELL, multiple: int) -> ELL:
+    """Extend a square ELL matrix with identity rows so nrows % multiple
+    == 0; solutions of the padded system restrict to the original."""
+    n = ell.nrows
+    n_pad = ((n + multiple - 1) // multiple) * multiple
+    if n_pad == n:
+        return ell
+    extra = n_pad - n
+    data = jnp.zeros((n_pad, ell.k), dtype=ell.dtype)
+    data = data.at[:n].set(ell.data)
+    data = data.at[n:, 0].set(1.0)
+    cols = jnp.zeros((n_pad, ell.k), dtype=ell.cols.dtype)
+    cols = cols.at[:n].set(ell.cols)
+    cols = cols.at[n:, 0].set(n + jnp.arange(extra, dtype=ell.cols.dtype))
+    return ELL(
+        data=data,
+        cols=cols,
+        shape=(n_pad, n_pad),
+        nnz=ell.nnz + extra,
+        block_size=1,
+    )
+
+
+def shard_ell(ell: ELL, mesh: Mesh, axis: str = "x") -> ELL:
+    """Row-shard data/cols over the mesh axis (P(axis, None))."""
+    n_dev = mesh.shape[axis]
+    if ell.nrows % n_dev != 0:
+        raise ValueError(
+            f"nrows {ell.nrows} not divisible by {n_dev} devices; use "
+            "pad_ell_identity first"
+        )
+    sharding = NamedSharding(mesh, P(axis, None))
+    return dataclasses.replace(
+        ell,
+        data=jax.device_put(ell.data, sharding),
+        cols=jax.device_put(ell.cols, sharding),
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every array of a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if isinstance(x, jax.Array)
+        else x,
+        tree,
+    )
+
+
+def shard_operator(
+    op: SparseOperator, mesh: Mesh, axis: str = "x"
+) -> SparseOperator:
+    """Row-shard a square sparse operator (and its transpose if present)."""
+    ell = shard_ell(op.ell, mesh, axis)
+    ell_t = shard_ell(op.ell_t, mesh, axis) if op.ell_t is not None else None
+    return SparseOperator(ell=ell, ell_t=ell_t)
+
+
+def _shard_block_smoother(
+    bs: BlockSmoother, mesh: Mesh, axis: str
+) -> BlockSmoother:
+    """Shard the per-aggregate batch dimension of a BlockSmoother."""
+    n_dev = mesh.shape[axis]
+    n_aggs = bs.inv_blocks.shape[0]
+    if n_aggs % n_dev != 0:
+        # pad with identity blocks acting on dof 0 with zero mask
+        pad = ((n_aggs + n_dev - 1) // n_dev) * n_dev - n_aggs
+        eye = jnp.broadcast_to(
+            jnp.eye(bs.inv_blocks.shape[1], dtype=bs.inv_blocks.dtype),
+            (pad,) + bs.inv_blocks.shape[1:],
+        )
+        bs = dataclasses.replace(
+            bs,
+            inv_blocks=jnp.concatenate([bs.inv_blocks, eye]),
+            idx=jnp.concatenate(
+                [bs.idx, jnp.zeros((pad,) + bs.idx.shape[1:], bs.idx.dtype)]
+            ),
+            mask=jnp.concatenate(
+                [bs.mask, jnp.zeros((pad,) + bs.mask.shape[1:], bs.mask.dtype)]
+            ),
+        )
+    s3 = NamedSharding(mesh, P(axis, None, None))
+    s2 = NamedSharding(mesh, P(axis, None))
+    return dataclasses.replace(
+        bs,
+        inv_blocks=jax.device_put(bs.inv_blocks, s3),
+        idx=jax.device_put(bs.idx, s2),
+        mask=jax.device_put(bs.mask, s2),
+    )
+
+
+def shard_multigrid(
+    mg: Multigrid,
+    mesh: Mesh,
+    axis: str = "x",
+    replicate_below: int = 4096,
+) -> Multigrid:
+    """Shard fine levels over the mesh; replicate small coarse levels.
+
+    A level is sharded when its dimension is divisible by the mesh size
+    and at least ``replicate_below``; everything else (including the
+    coarse solver) is replicated — the multi-device analog of the
+    reference's coarse-grid handling (multigrid.rs:152-159).
+    """
+    n_dev = mesh.shape[axis]
+    new_levels = []
+    for level in mg.levels:
+        n = level.a.shape[0]
+        if n >= replicate_below and n % n_dev == 0:
+            a = shard_operator(level.a, mesh, axis)
+            smoother = (
+                _shard_block_smoother(level.smoother, mesh, axis)
+                if isinstance(level.smoother, BlockSmoother)
+                else replicate(level.smoother, mesh)
+            )
+            r = (
+                shard_ell_rect(level.r, mesh, axis)
+                if level.r is not None
+                else None
+            )
+            p = (
+                shard_ell_rect(level.p, mesh, axis)
+                if level.p is not None
+                else None
+            )
+            new_levels.append(Level(a=a, smoother=smoother, r=r, p=p))
+        else:
+            new_levels.append(replicate(level, mesh))
+    coarse = replicate(mg.coarse_solver, mesh)
+    return dataclasses.replace(
+        mg, levels=tuple(new_levels), coarse_solver=coarse
+    )
+
+
+def shard_ell_rect(op: SparseOperator, mesh: Mesh, axis: str = "x"):
+    """Shard a rectangular transfer operator by rows when divisible,
+    otherwise replicate."""
+    n_dev = mesh.shape[axis]
+    if op.ell.nrows % n_dev == 0:
+        ell = shard_ell(op.ell, mesh, axis)
+    else:
+        ell = replicate(op.ell, mesh)
+    ell_t = replicate(op.ell_t, mesh) if op.ell_t is not None else None
+    return SparseOperator(ell=ell, ell_t=ell_t)
+
+
+def shard_vector(x, mesh: Mesh, axis: str = "x"):
+    spec = P(axis) if x.ndim == 1 else P(axis, None)
+    return jax.device_put(x, NamedSharding(mesh, spec))

@@ -1,0 +1,173 @@
+"""Least-squares (affinity) strength-of-connection graph.
+
+Reference ``AdjacencyList::new_ls_strength_graph``
+(partitioners/mod.rs:337-393), rebuilt as vectorized array passes instead
+of per-row BFS loops:
+
+1. Neighborhood: all pairs (i, j) within graph distance ≤ ``max_depth``
+   of each other (depth default 3, mod.rs:290) — computed as boolean
+   sparse powers of A's pattern instead of per-node BFS.
+2. Affinity over the near-null candidates V (n×k) with diagonal weights
+   W = diag(w):  ρ²ᵢⱼ = (vᵢᵀWvⱼ)² / ((vᵢᵀWvᵢ)(vⱼᵀWvⱼ)),
+   distance dᵢⱼ = 2·√(max(0, 1−ρ²)) (mod.rs:352-359).
+3. Per-node filter: keep the strongest (smallest-d) ⌊θ·len⌋ (≥1)
+   neighbors, θ = 0.5 (mod.rs:345, 369-372).
+4. Per-node contrast rescale: w = ((d_max−d)/(d_max−d_min+1e-12))^α with
+   α = 4; all-equal rows get weight 1 (mod.rs:364-388).
+
+The result is a *directed* weighted graph (each node keeps its own
+filtered list, exactly like the reference's per-node adjacency lists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sps
+
+from tpu_amg.sparse.csr import CSR
+
+THETA = 0.5  # keep fraction (reference mod.rs:345)
+ALPHA = 4.0  # contrast exponent (reference mod.rs:365)
+
+
+@dataclasses.dataclass
+class Graph:
+    """Directed weighted adjacency in scipy CSR form; ``adj[i]`` holds
+    node i's kept neighbor list (weights: larger = stronger)."""
+
+    adj: sps.csr_matrix
+
+    @property
+    def n(self) -> int:
+        return self.adj.shape[0]
+
+    def row_sums(self) -> np.ndarray:
+        """Strength degree per node, negatives clamped to 0 with the same
+        semantics as the reference (modularity.rs:52-74)."""
+        sums = np.asarray(self.adj.sum(axis=1)).ravel()
+        return np.maximum(sums, 0.0)
+
+    def edges(self):
+        """(rows, cols, weights) of the directed edge list."""
+        coo = self.adj.tocoo()
+        return coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data
+
+    def contract(self, node_to_agg: np.ndarray, n_aggs: int) -> "Graph":
+        """Aggregate nodes (reference AdjacencyList::aggregate,
+        mod.rs:464-491): map endpoints, sum duplicate edges, normalize by
+        the global max weight (self-loops included — the reference does
+        this, with an author note; mod.rs:471-480), then drop self-loops
+        (filter_diag, mod.rs:493-497)."""
+        rows, cols, w = self.edges()
+        new = sps.coo_matrix(
+            (w, (node_to_agg[rows], node_to_agg[cols])), shape=(n_aggs, n_aggs)
+        ).tocsr()
+        new.sum_duplicates()
+        gmax = new.data.max() if new.nnz else 1.0
+        new.data /= gmax
+        new.setdiag(0.0)
+        new.eliminate_zeros()
+        return Graph(adj=new)
+
+    def maximal_independent_set(self, f_points: np.ndarray) -> np.ndarray:
+        """Greedy MIS by descending strength-degree over current F-points
+        (reference mod.rs:395-423, used by compatible relaxation).
+
+        Mutates ``f_points`` to all-False and returns the new C-points.
+        """
+        idx = np.flatnonzero(f_points)
+        sub = self.adj[idx][:, idx]
+        degrees = np.asarray(sub.sum(axis=1)).ravel()
+        order = idx[np.argsort(-degrees, kind="stable")]
+        indptr, indices = self.adj.indptr, self.adj.indices
+        new_c = []
+        for i in order:
+            if f_points[i]:
+                f_points[i] = False
+                new_c.append(i)
+                f_points[indices[indptr[i] : indptr[i + 1]]] = False
+        return np.array(new_c, dtype=np.int64)
+
+
+def _pattern_power(a: CSR, max_depth: int) -> sps.csr_matrix:
+    """Boolean reachability within ``max_depth`` hops (incl. depth 1)."""
+    b = a.to_scipy().tocsr()
+    b.data = np.ones_like(b.data)
+    b.setdiag(1.0)  # closed neighborhoods so powers accumulate all depths
+    reach = b
+    for _ in range(max_depth - 1):
+        reach = reach @ b
+        reach.data = np.ones_like(reach.data)
+    reach.setdiag(0.0)
+    reach.eliminate_zeros()
+    return reach.tocsr()
+
+
+def strength_graph(
+    a: CSR,
+    near_null: np.ndarray,
+    nn_weights: np.ndarray,
+    max_depth: int = 3,
+    chunk: int = 2_000_000,
+) -> Graph:
+    """Build the filtered affinity strength graph of A."""
+    near_null = np.asarray(near_null, dtype=np.float64)
+    if near_null.ndim == 1:
+        near_null = near_null[:, None]
+    w = np.asarray(nn_weights, dtype=np.float64)[: near_null.shape[1]]
+
+    reach = _pattern_power(a, max_depth)
+    rows = np.repeat(
+        np.arange(reach.shape[0], dtype=np.int64), np.diff(reach.indptr)
+    )
+    cols = reach.indices.astype(np.int64)
+
+    wv = near_null * w  # (n, k)
+    norms = np.maximum(np.einsum("ik,ik->i", near_null, wv), 1e-30)
+
+    dist = np.empty(len(rows))
+    for s in range(0, len(rows), chunk):
+        e = min(s + chunk, len(rows))
+        dots = np.einsum("ek,ek->e", near_null[rows[s:e]], wv[cols[s:e]])
+        rho2 = dots * dots / (norms[rows[s:e]] * norms[cols[s:e]])
+        dist[s:e] = 2.0 * np.sqrt(np.maximum(0.0, 1.0 - rho2))
+
+    # --- per-node filter + contrast rescale (vectorized over all rows) ---
+    n = a.nrows
+    row_counts = np.diff(reach.indptr)
+    # sort edges within each row by distance ascending
+    order = np.lexsort((dist, rows))
+    rows_s, cols_s, dist_s = rows[order], cols[order], dist[order]
+    # rank of each edge within its row
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=starts[1:])
+    rank = np.arange(len(rows_s)) - starts[rows_s]
+    keep_counts = np.maximum((row_counts * THETA).astype(np.int64), 1)
+    keep = rank < keep_counts[rows_s]
+
+    rows_k, cols_k, dist_k = rows_s[keep], cols_s[keep], dist_s[keep]
+    # per-row d_min (first kept = strongest) and d_max (last kept)
+    kstarts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(keep_counts, out=kstarts[1:])
+    if len(rows_k) != kstarts[-1]:
+        # isolated nodes (empty neighborhoods) — reference panics
+        # ("graph is disconnected"); we tolerate them with empty rows.
+        kept_counts = np.bincount(rows_k, minlength=n)
+        kstarts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=kstarts[1:])
+    d_min = np.zeros(n)
+    d_max = np.zeros(n)
+    nonempty = kstarts[1:] > kstarts[:-1]
+    d_min[nonempty] = dist_k[kstarts[:-1][nonempty]]
+    d_max[nonempty] = dist_k[kstarts[1:][nonempty] - 1]
+
+    span = d_max[rows_k] - d_min[rows_k]
+    flat = np.abs(span) < 1e-12
+    t = (d_max[rows_k] - dist_k) / (span + 1e-12)
+    weights = np.where(flat, 1.0, t**ALPHA)
+
+    adj = sps.coo_matrix((weights, (rows_k, cols_k)), shape=(n, n)).tocsr()
+    adj.sum_duplicates()
+    return Graph(adj=adj)

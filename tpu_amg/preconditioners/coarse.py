@@ -1,0 +1,111 @@
+"""Coarsest-level direct solvers.
+
+The reference offers sparse/dense Cholesky (``CoarseSolverKind::Cholesky``)
+with SVD/Eigh declared but unimplemented (reference coarse_solvers.rs:27-40).
+On TPU the coarsest grid (default ≤ 1000 dofs, hierarchy.rs:30-32) is far
+below MXU saturation as a sparse problem, so we densify it and use a dense
+Cholesky factor applied as two triangular solves — a single fused XLA op.
+We also actually implement the pseudo-inverse (eigh) variant the reference
+stubs out, for semi-definite coarse grids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.linop import LinearOperator
+from tpu_amg.sparse.csr import CSR
+
+
+def _densify(a) -> jnp.ndarray:
+    if isinstance(a, CSR):
+        return jnp.asarray(a.to_dense())
+    if hasattr(a, "ell"):
+        ell = a.ell
+        dense = np.zeros(ell.shape)
+        cols = np.asarray(ell.cols)
+        data = np.asarray(ell.data)
+        np.add.at(dense, (np.arange(ell.shape[0])[:, None], cols), data)
+        return jnp.asarray(dense)
+    return jnp.asarray(a)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseCholeskySolver(LinearOperator):
+    """Exact solve with a prefactored dense Cholesky.
+
+    Role of the reference's Sparse/DenseCholeskySolve
+    (coarse_solvers.rs:55-276).  Symmetric: rmv = mv.
+    """
+
+    chol: jax.Array  # lower-triangular factor L with A = L Lᵀ
+
+    @property
+    def shape(self):
+        return self.chol.shape
+
+    @staticmethod
+    def build(a) -> "DenseCholeskySolver":
+        dense = _densify(a)
+        return DenseCholeskySolver(chol=jnp.linalg.cholesky(dense))
+
+    def _solve(self, b):
+        y = jax.scipy.linalg.solve_triangular(self.chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(self.chol.T, y, lower=False)
+
+    def mv(self, x):
+        return self._solve(x)
+
+    def mm(self, xs):
+        return self._solve(xs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DensePinvSolver(LinearOperator):
+    """Pseudo-inverse solve via eigendecomposition (the reference's
+    unimplemented ``CoarseSolverKind::Eigh``, coarse_solvers.rs:27-40).
+
+    Robust for singular/semi-definite coarse operators (e.g. pure-Neumann
+    problems where the constant is in the kernel).
+    """
+
+    pinv: jax.Array  # materialized dense pseudo-inverse
+
+    @property
+    def shape(self):
+        return self.pinv.shape
+
+    @staticmethod
+    def build(a, rtol: float = 1e-12) -> "DensePinvSolver":
+        dense = _densify(a)
+        w, v = jnp.linalg.eigh(dense)
+        cutoff = rtol * jnp.max(jnp.abs(w))
+        inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
+        return DensePinvSolver(pinv=(v * inv_w) @ v.T)
+
+    def mv(self, x):
+        return self.pinv @ x
+
+    def mm(self, xs):
+        return self.pinv @ xs
+
+
+def build_coarse_solver(kind: str, a, dtype=None) -> LinearOperator:
+    """Reference ``CoarseSolverKind`` dispatch (coarse_solvers.rs:14-42)."""
+    if kind == "cholesky":
+        s = DenseCholeskySolver.build(a)
+        if dtype is not None:
+            s = DenseCholeskySolver(chol=s.chol.astype(dtype))
+        return s
+    if kind in ("eigh", "pinv", "svd"):
+        s = DensePinvSolver.build(a)
+        if dtype is not None:
+            s = DensePinvSolver(pinv=s.pinv.astype(dtype))
+        return s
+    raise ValueError(f"unknown coarse solver kind {kind!r}")

@@ -1,0 +1,86 @@
+"""Builder: Hierarchy → device-side Multigrid preconditioner.
+
+Reference ``MultigridConfig::build`` (multigrid.rs:27-165): for each
+non-coarsest level, re-run the modularity partitioner with the *smoother*
+coarsening factor (the amg CLI uses block_smoother_size = 128,
+examples/amg/main.rs:107) on that level's operator/near-null to get the
+block-smoother partition, build a BlockSmoother per level, and a direct
+coarse solver on the last level.
+
+(The reference's level loop contains a latent wrong-operator fallback —
+multigrid.rs:147 falls back to the finest op — which we do not replicate;
+SURVEY.md Appendix B.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tpu_amg.hierarchy import Hierarchy
+from tpu_amg.linop import SparseOperator
+from tpu_amg.partition import PartitionerConfig
+from tpu_amg.preconditioners.block_smoother import BlockSmoother
+from tpu_amg.preconditioners.coarse import build_coarse_solver
+from tpu_amg.preconditioners.multigrid import Level, Multigrid
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class MultigridConfig:
+    """Defaults: μ=1, smoothing_steps 1, Cholesky coarsest
+    (multigrid.rs:35-44); smoother partition cf defaults to the CLI's
+    block_smoother_size 128 (examples/amg/main.rs:107)."""
+
+    mu: int = 1
+    smoothing_steps: int = 1
+    coarse_solver: Optional[str] = "cholesky"
+    smoother_partitioner: PartitionerConfig = dataclasses.field(
+        default_factory=lambda: PartitionerConfig(coarsening_factor=128.0)
+    )
+    dtype: object = jnp.float64
+
+    def build(self, hierarchy: Hierarchy) -> Multigrid:
+        level_count = hierarchy.num_levels
+        levels = []
+        for lvl in range(level_count - 1):
+            a = hierarchy.get_op(lvl)
+            nn = hierarchy.get_near_null(lvl)
+            w = hierarchy.get_nn_weights(lvl)
+            cfg = self.smoother_partitioner
+            # cap cf so at least 2 aggregates exist
+            n_nodes = a.nrows // a.block_size
+            if cfg.coarsening_factor > n_nodes / 2:
+                cfg = dataclasses.replace(
+                    cfg, coarsening_factor=max(n_nodes / 2.0, 1.0)
+                )
+            partition = cfg.build_partition(a, nn, w).expand_blocks(
+                a.block_size
+            )
+            smoother = BlockSmoother.build(a, partition, dtype=self.dtype)
+            a_op = SparseOperator.from_csr(a, dtype=self.dtype)
+            r_op = SparseOperator.from_csr(
+                hierarchy.get_restriction(lvl), dtype=self.dtype
+            )
+            p_op = SparseOperator.from_csr(
+                hierarchy.get_interpolation(lvl), dtype=self.dtype
+            )
+            levels.append(Level(a=a_op, smoother=smoother, r=r_op, p=p_op))
+            logger.debug(
+                "level %d smoother partition: %s", lvl, partition.info()
+            )
+        coarse = build_coarse_solver(
+            self.coarse_solver or "cholesky",
+            hierarchy.get_op(level_count - 1),
+            dtype=self.dtype,
+        )
+        return Multigrid(
+            levels=tuple(levels),
+            coarse_solver=coarse,
+            mu=self.mu,
+            smoothing_steps=self.smoothing_steps,
+        )
