@@ -17,22 +17,29 @@ import time
 import numpy as np
 
 
-def measure_stream_bandwidth(jnp, jax, dtype):
-    """Effective HBM bandwidth via a large fused triad (2 reads+1 write)."""
+def _sync(x):
+    """Force completion: pull one element to the host (block_until_ready
+    is unreliable over remote device tunnels)."""
+    return float(np.asarray(x.ravel()[0]))
+
+
+def measure_stream_bandwidth(jnp, jax, dtype, reps=20):
+    """Effective HBM bandwidth via a chained triad inside ONE executable
+    (x ← x + 0.5·y repeated; chain prevents dedup/reorder)."""
     n = 32 * 1024 * 1024  # 128 MB per f32 array
     x = jnp.ones((n,), dtype=dtype)
     y = jnp.full((n,), 2.0, dtype=dtype)
 
     @jax.jit
-    def triad(x, y):
-        return x + 0.5 * y
+    def triad_n(x, y):
+        def body(v, _):
+            return v + 0.5 * y, None
+        v, _ = jax.lax.scan(body, x, None, length=reps)
+        return v
 
-    triad(x, y).block_until_ready()
-    reps = 10
+    _sync(triad_n(x, y))  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = triad(x, y)
-    out.block_until_ready()
+    _sync(triad_n(x, y))
     dt = (time.perf_counter() - t0) / reps
     bytes_moved = 3 * n * np.dtype(np.float32).itemsize
     return bytes_moved / dt
@@ -46,38 +53,99 @@ def main():
     from tpu_amg.sparse import ELL
     from tpu_amg.utils.problems import poisson3d
 
+    from tpu_amg.sparse.dia import try_from_csr
+
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     n_grid = 100 if on_tpu else 48
     a = poisson3d(n_grid)  # 7-point stencil
-    ell = ELL.from_csr(a, dtype=jnp.float32)
-    n = ell.nrows
-
+    n = a.nrows
+    nnz = a.nnz
     x = jnp.ones((n,), dtype=jnp.float32)
-    spmv = jax.jit(lambda e, v: e.mv(v))
-    spmv(ell, x).block_until_ready()
 
-    reps = 50
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(reps):
-        y = spmv(ell, y)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    nnz_per_s = ell.nnz / dt
+    def time_spmv(mat, reps=50):
+        @jax.jit
+        def spmv_n(m, v):
+            def body(u, _):
+                return m.mv(u), None
+            u, _ = jax.lax.scan(body, v, None, length=reps)
+            return u
 
-    # roofline: ELL row pass moves data(4B) + cols(4B) per padded slot,
-    # + x gather (4B per slot, assuming no reuse) + y write (4B per row)
+        _sync(spmv_n(mat, x))  # warmup/compile
+        t0 = time.perf_counter()
+        _sync(spmv_n(mat, x))
+        return (time.perf_counter() - t0) / reps
+
+    def time_spmv_fn(fn, x0, reps=50):
+        @jax.jit
+        def spmv_n(v):
+            def body(u, _):
+                return fn(u), None
+            u, _ = jax.lax.scan(body, v, None, length=reps)
+            return u
+
+        _sync(spmv_n(x0))
+        t0 = time.perf_counter()
+        _sync(spmv_n(x0))
+        return (time.perf_counter() - t0) / reps
+
+    print("# building ELL...", file=sys.stderr, flush=True)
+    ell = ELL.from_csr(a, dtype=jnp.float32)
+    print("# timing ELL spmv...", file=sys.stderr, flush=True)
+    dt_ell = time_spmv(ell)
+    print(f"# ell {dt_ell*1e3:.3f}ms; building DIA...", file=sys.stderr, flush=True)
+    dia = try_from_csr(a, dtype=jnp.float32)
+    dt_dia = time_spmv(dia) if dia is not None else float("inf")
+    print(f"# dia {dt_dia*1e3:.3f}ms; trying pallas...", file=sys.stderr, flush=True)
+    dt_pallas = float("inf")
+    if dia is not None:
+        try:
+            import dataclasses
+
+            from tpu_amg.ops.dia_pallas import TILE, dia_spmv_pallas
+
+            n_pad = ((n + TILE - 1) // TILE) * TILE
+            if n_pad != n:
+                dia_p = dataclasses.replace(
+                    dia,
+                    data=jnp.pad(dia.data, ((0, 0), (0, n_pad - n))),
+                    shape=(n_pad, n_pad),
+                )
+            else:
+                dia_p = dia
+
+            class _P:
+                nrows = n_pad
+                _pad = dia._pad
+                data = dia_p.data
+                offsets = dia.offsets
+
+            xq = jnp.pad(x, (0, n_pad - n))
+            dt_pallas = time_spmv_fn(
+                lambda v: dia_spmv_pallas(_P, v, interpret=not on_tpu), xq
+            )
+        except Exception as e:
+            print(f"# pallas unavailable: {e}", file=sys.stderr, flush=True)
+    print(
+        f"# pallas {dt_pallas*1e3:.3f}ms; measuring bandwidth...",
+        file=sys.stderr, flush=True,
+    )
+    dt = min(dt_ell, dt_dia, dt_pallas)
+    fmt = {dt_ell: "ell", dt_dia: "dia", dt_pallas: "pallas-dia"}[dt]
+    nnz_per_s = nnz / dt
+
+    # roofline: lower bound on traffic for ANY SpMV = values once + x once
+    # + y once (index streams are format overhead we aim to eliminate)
     bw = measure_stream_bandwidth(jnp, jax, jnp.float32)
-    slots = n * ell.k
-    bytes_per_spmv = 4 * slots * 3 + 4 * n
-    roofline_nnz_s = ell.nnz * bw / bytes_per_spmv
+    bytes_min = 4 * nnz + 4 * n + 4 * n
+    roofline_nnz_s = nnz * bw / bytes_min
     target = 0.70 * roofline_nnz_s
 
     print(
-        f"# device={dev.platform} n={n} nnz={ell.nnz} k={ell.k} "
-        f"spmv={dt*1e3:.3f}ms bw={bw/1e9:.0f}GB/s "
-        f"roofline={roofline_nnz_s/1e9:.2f}Gnnz/s",
+        f"# device={dev.platform} n={n} nnz={nnz} fmt={fmt} "
+        f"ell={dt_ell*1e3:.3f}ms dia={dt_dia*1e3:.3f}ms "
+        f"pallas={dt_pallas*1e3:.3f}ms "
+        f"bw={bw/1e9:.0f}GB/s roofline={roofline_nnz_s/1e9:.2f}Gnnz/s",
         file=sys.stderr,
     )
     print(

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--smoothing-iters", type=int, default=20)
     p.add_argument("--interpolation", type=str, default="sa",
                    choices=["sa", "classical"])
+    p.add_argument("--classical-opts", type=str, default="",
+                   help="key=val,... overrides: tau=, search=, depth=, "
+                        "max=, cr_target=, relax= "
+                        "(reference examples/amg/main.rs:502-547)")
     p.add_argument("--coarsening-factor", type=float, default=8.0)
     p.add_argument("--aggregation-iters", type=int, default=200,
                    help="partitioner improvement iterations")
@@ -54,10 +58,16 @@ def parse_args():
     p.add_argument("--coarsest-dim", type=int, default=1000)
     p.add_argument("--max-levels", type=int, default=None)
     p.add_argument("--smoothing-steps", type=int, default=3)
+    p.add_argument("--smoother", type=str, default="block",
+                   choices=["block", "chebyshev", "l1", "l2", "jacobi"])
+    p.add_argument("--chebyshev-degree", type=int, default=3)
     p.add_argument("--mu", type=int, default=1)
     p.add_argument("--composite", type=int, default=None,
                    help="adaptive composite with N components")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--viz-out", type=str, default=None,
+                   help="write hierarchy viz JSON here (reference dumps "
+                        "data/hierarchy_viz.json, main.rs:384-387)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p.parse_args()
 
@@ -87,6 +97,66 @@ def load_problem(args):
     return a, rhs
 
 
+def test_composite(composite, rhs, x0, max_iters, tol):
+    """Peel composite components one by one, re-solving each time, and
+    format the PCG/stationary results tables
+    (reference test_composite + build_composite_table,
+    examples/amg/main.rs:589-702)."""
+    import numpy as np
+
+    from tpu_amg.utils.testing import test_solver
+
+    def row(count, iters, rel_res):
+        vcycles_per_iter = 2 * count - 1
+        total = iters * vcycles_per_iter
+        red_it = rel_res ** (1.0 / iters) if iters else 0.0
+        red_vc = rel_res ** (1.0 / total) if total else 0.0
+        return (count, iters, total, red_it, red_vc, rel_res)
+
+    pcg_rows, sli_rows = [], []
+    while len(composite.components) > 0:
+        count = len(composite.components)
+        report = test_solver(
+            composite.a, composite, rhs, x0, rtol=tol, maxiter=max_iters
+        )
+        b_norm = float(np.linalg.norm(np.asarray(rhs)))
+        pcg_rows.append(
+            row(count, report.cg_iters, report.cg_history[-1] / b_norm)
+        )
+        sli_rows.append(
+            row(count, report.sli_iters, report.sli_history[-1] / b_norm)
+        )
+        import dataclasses
+
+        composite = dataclasses.replace(
+            composite, components=composite.components[:-1]
+        )
+
+    def table(rows):
+        sep = (
+            "+------------+------------+------------+----------------------+"
+            "----------------------+----------------------+"
+        )
+        lines = [
+            sep,
+            "| components | iterations | v-cycles   | reduction/iter       |"
+            " reduction/v-cycle    | final rel residual   |",
+            sep,
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r[0]:>10} | {r[1]:>10} | {r[2]:>10} | {r[3]:>20.3f} |"
+                f" {r[4]:>20.3f} | {r[5]:>20.3e} |"
+            )
+        lines.append(sep)
+        return "\n".join(lines)
+
+    return (
+        f"Composite PCG results:\n{table(pcg_rows)}\n"
+        f"Composite stationary results:\n{table(sli_rows)}"
+    )
+
+
 def main():
     args = parse_args()
     logging.basicConfig(
@@ -109,6 +179,32 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t_setup = time.time()
 
+    from tpu_amg.interpolation.classical import (
+        ClassicalConfig,
+        CompatibleRelaxationConfig,
+        LeastSquaresConfig,
+    )
+
+    ls_cfg, cr_cfg = LeastSquaresConfig(), CompatibleRelaxationConfig()
+    if args.classical_opts:
+        # mini key=val parser (reference examples/amg/main.rs:502-547)
+        for kv in args.classical_opts.split(","):
+            k, v = kv.split("=")
+            if k == "tau":
+                ls_cfg.tau_threshold = float(v)
+            elif k == "search":
+                ls_cfg.search_depth = int(v)
+            elif k == "depth":
+                ls_cfg.depth_ls = int(v)
+            elif k == "max":
+                ls_cfg.max_interp = int(v)
+            elif k == "cr_target":
+                cr_cfg.target_convergence = float(v)
+            elif k == "relax":
+                cr_cfg.relax_steps = int(v)
+            else:
+                raise SystemExit(f"unknown classical opt {k!r}")
+
     interp = InterpolationConfig(
         kind="aggregation" if args.interpolation == "sa" else "classical",
         aggregation=AggregationConfig(
@@ -118,6 +214,7 @@ def main():
                 max_improvement_iters=args.aggregation_iters,
             ),
         ),
+        classical=ClassicalConfig(cr_options=cr_cfg, ls_options=ls_cfg),
     )
     hier_cfg = HierarchyConfig(
         coarsest_dim=args.coarsest_dim,
@@ -127,6 +224,8 @@ def main():
     mg_cfg = MultigridConfig(
         mu=args.mu,
         smoothing_steps=args.smoothing_steps,
+        smoother=args.smoother,
+        chebyshev_degree=args.chebyshev_degree,
         smoother_partitioner=PartitionerConfig(
             coarsening_factor=args.block_smoother_size,
             max_improvement_iters=50,
@@ -143,6 +242,15 @@ def main():
             coarsening_near_null_dim=args.coarsening_near_null_dim,
         )
         pc = cfg.build(a, key)
+        # component-peel study + results table
+        # (reference examples/amg/main.rs:589-675)
+        k_guess, key = jax.random.split(key)
+        x0 = jax.random.normal(k_guess, (a.nrows,), dtype=jnp.float64)
+        print(
+            test_composite(
+                pc, jnp.asarray(rhs), x0, args.max_iters, args.tol
+            )
+        )
         op_complexity = float("nan")  # per-component hierarchies
     else:
         k_nn, key = jax.random.split(key)
@@ -156,6 +264,10 @@ def main():
         weights = create_weights(a, basis)
         hierarchy = hier_cfg.build(a, basis, weights)
         print(repr(hierarchy), file=sys.stderr)
+        if args.viz_out:
+            from tpu_amg.utils.viz import dump_hierarchy_viz
+
+            dump_hierarchy_viz(hierarchy, args.viz_out)
         pc = mg_cfg.build(hierarchy)
         op_complexity = hierarchy.op_complexity()
     print(f"setup: {time.time() - t_setup:.1f}s", file=sys.stderr)

@@ -1,0 +1,42 @@
+"""Hierarchy checkpoint/resume round-trip."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.hierarchy import HierarchyConfig
+from tpu_amg.linop import aslinearoperator
+from tpu_amg.preconditioners.multigrid_builder import MultigridConfig
+from tpu_amg.solvers import cg
+from tpu_amg.utils.checkpoint import load_hierarchy, save_hierarchy
+from tpu_amg.utils.problems import poisson2d
+
+
+def test_roundtrip_and_resume(tmp_path):
+    from tests.test_hierarchy import near_null_basis, sa_config
+
+    a = poisson2d(12)
+    nn = near_null_basis(a, k=2)
+    h = HierarchyConfig(coarsest_dim=20, interpolation_config=sa_config()).build(
+        a, nn
+    )
+    save_hierarchy(tmp_path / "h.npz", h)
+    h2 = load_hierarchy(tmp_path / "h.npz")
+
+    assert h2.num_levels == h.num_levels
+    for lvl in range(h.num_levels):
+        np.testing.assert_array_equal(
+            h2.matrices[lvl].data, h.matrices[lvl].data
+        )
+        np.testing.assert_array_equal(
+            h2.near_nulls[lvl], h.near_nulls[lvl]
+        )
+    assert h2.op_complexity() == h.op_complexity()
+
+    # resume: build a multigrid from the loaded hierarchy and solve
+    mg = MultigridConfig(
+        smoother="chebyshev",
+    ).build(h2)
+    op = aslinearoperator(a)
+    b = jnp.ones(a.nrows)
+    _, info = cg(op, b, mg, rtol=1e-8)
+    assert bool(info.converged)

@@ -160,3 +160,38 @@ class TestModularityPartitioner:
         )
         cfg.build_partition(a, nn, np.ones(1))
         assert len(calls) >= 1
+
+
+class TestMultilevelPartitioner:
+    def test_staged_composition(self):
+        from tpu_amg.partition import MultilevelPartitionerConfig
+        from tpu_amg.utils.problems import poisson2d
+
+        a = poisson2d(16)
+        nn = np.ones((256, 1))
+        cfg = MultilevelPartitionerConfig.even_stages(
+            16.0, n_stages=2, max_improvement_iters=10
+        )
+        part = cfg.build_partition(a, nn, np.ones(1))
+        part.validate()
+        stats = part.info()
+        assert part.num_nodes == 256
+        assert 8.0 <= stats.coarsening_factor <= 32.0
+
+    def test_rebase(self):
+        from tpu_amg.partition import ModularityPartitioner, strength_graph
+        from tpu_amg.utils.problems import poisson2d
+
+        a = poisson2d(12)
+        nn = np.ones((144, 1))
+        g = strength_graph(a, nn, np.ones(1), max_depth=2)
+        p = ModularityPartitioner(g, PartitionerConfig(coarsening_factor=4.0))
+        p.initialize_partition()
+        p.improve_partition()
+        base = p.partition
+        p2 = ModularityPartitioner(g, PartitionerConfig(coarsening_factor=4.0))
+        p2.rebase(base)
+        coarse = p2.partition
+        composed = base.compose(coarse)
+        composed.validate()
+        assert composed.num_aggs < base.num_aggs

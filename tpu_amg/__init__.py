@@ -19,9 +19,21 @@ AMG setup/solve tolerances (1e-12) require it.  TPU hot paths explicitly
 request f32/bf16 where appropriate.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache (compiles dominate setup wall-time on
+# small hosts; set TPU_AMG_NO_COMPILE_CACHE=1 to disable).
+if not os.environ.get("TPU_AMG_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TPU_AMG_CACHE_DIR", "/tmp/tpu_amg_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from tpu_amg import sparse  # noqa: E402
 from tpu_amg.linop import (  # noqa: E402

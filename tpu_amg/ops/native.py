@@ -1,16 +1,162 @@
 """Native (C++) host kernels for setup-time sparse algebra.
 
 The reference implements its entire setup path in compiled Rust; here the
-hot host-side pieces (SpGEMM, greedy matching, strength-graph assembly)
-get a from-scratch C++ implementation loaded via ctypes, with the numpy
-paths as fallback.  Built by ``python setup_native.py`` (see repo root) or
-on first import if a compiler is present.
+hot host-side pieces — two-pass CSR SpGEMM, the greedy-matching pop loop,
+the conflict-frozen local-move application, batched BFS neighborhood
+expansion — are from-scratch C++ (ops/native_src/amg_native.cc) loaded
+via ctypes, with the numpy paths as fallback.  Built by
+``python setup_native.py``; auto-built on first import when g++ is
+available.
 """
 
 from __future__ import annotations
 
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
 _LIB = None
+_LIB_PATH = Path(__file__).resolve().parent / "libamg_native.so"
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _try_load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not _LIB_PATH.exists():
+        try:
+            import setup_native  # repo-root builder
+
+            setup_native.build()
+        except Exception:
+            try:
+                import subprocess
+                import sys
+
+                root = Path(__file__).resolve().parents[2]
+                subprocess.run(
+                    [sys.executable, str(root / "setup_native.py")],
+                    check=True,
+                    capture_output=True,
+                )
+            except Exception:
+                return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    lib.spgemm_symbolic.restype = ctypes.c_int64
+    lib.spgemm_symbolic.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, _i64p, _i32p, ctypes.c_int64, _i64p,
+    ]
+    lib.spgemm_numeric.restype = None
+    lib.spgemm_numeric.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, _f64p, _i64p, _i32p, _f64p,
+        ctypes.c_int64, _i64p, _i32p, _f64p,
+    ]
+    lib.greedy_match.restype = ctypes.c_int64
+    lib.greedy_match.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i64p,
+    ]
+    lib.apply_moves.restype = ctypes.c_int64
+    lib.apply_moves.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i32p, _i64p, _i64p, _i64p,
+    ]
+    lib.bfs_reach_symbolic.restype = ctypes.c_int64
+    lib.bfs_reach_symbolic.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, _i64p,
+    ]
+    lib.bfs_reach_numeric.restype = None
+    lib.bfs_reach_numeric.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, _i64p, _i32p,
+    ]
+    _LIB = lib
+    return lib
 
 
 def available() -> bool:
-    return _LIB is not None
+    return _try_load() is not None
+
+
+def spgemm(a, b):
+    """C = A @ B on host CSR containers (two-pass native kernel)."""
+    from tpu_amg.sparse.csr import CSR
+
+    lib = _try_load()
+    assert lib is not None
+    n = a.nrows
+    indptr_a = np.ascontiguousarray(a.indptr, np.int64)
+    indices_a = np.ascontiguousarray(a.indices, np.int32)
+    data_a = np.ascontiguousarray(a.data, np.float64)
+    indptr_b = np.ascontiguousarray(b.indptr, np.int64)
+    indices_b = np.ascontiguousarray(b.indices, np.int32)
+    data_b = np.ascontiguousarray(b.data, np.float64)
+    out_indptr = np.zeros(n + 1, dtype=np.int64)
+    nnz = lib.spgemm_symbolic(
+        n, indptr_a, indices_a, indptr_b, indices_b, b.ncols, out_indptr
+    )
+    out_indices = np.zeros(nnz, dtype=np.int32)
+    out_data = np.zeros(nnz, dtype=np.float64)
+    lib.spgemm_numeric(
+        n, indptr_a, indices_a, data_a, indptr_b, indices_b, data_b,
+        b.ncols, out_indptr, out_indices, out_data,
+    )
+    return CSR(
+        data=out_data,
+        indices=out_indices,
+        indptr=out_indptr,
+        shape=(a.nrows, b.ncols),
+        block_size=a.block_size,
+    )
+
+
+def greedy_match(rows, cols, n_vertices, target):
+    """Serial heaviest-first matching; edges pre-sorted descending."""
+    lib = _try_load()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    out = np.zeros(2 * min(len(rows), n_vertices // 2 + 1), dtype=np.int64)
+    npairs = lib.greedy_match(len(rows), rows, cols, n_vertices, target, out)
+    return out[: 2 * npairs].reshape(-1, 2)
+
+
+def apply_moves(nodes, dest_aggs, indptr, indices, node_weights,
+                node_to_agg, agg_sizes):
+    """Conflict-frozen move application (mutates node_to_agg/agg_sizes)."""
+    lib = _try_load()
+    assert lib is not None
+    nodes = np.ascontiguousarray(nodes, np.int64)
+    dest = np.ascontiguousarray(dest_aggs, np.int64)
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    nw = np.ascontiguousarray(node_weights, np.int64)
+    assert node_to_agg.dtype == np.int64 and node_to_agg.flags.c_contiguous
+    assert agg_sizes.dtype == np.int64 and agg_sizes.flags.c_contiguous
+    return lib.apply_moves(
+        len(nodes), nodes, dest, len(node_to_agg), len(agg_sizes),
+        indptr, indices, nw, node_to_agg, agg_sizes,
+    )
+
+
+def bfs_reach(indptr, indices, n, max_depth):
+    """All-pairs bounded-depth BFS neighborhoods as CSR (excl. center)."""
+    lib = _try_load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    counts = np.zeros(n, dtype=np.int64)
+    total = lib.bfs_reach_symbolic(n, indptr, indices, max_depth, counts)
+    out_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_indptr[1:])
+    out_indices = np.zeros(total, dtype=np.int32)
+    lib.bfs_reach_numeric(
+        n, indptr, indices, max_depth, out_indptr, out_indices
+    )
+    return out_indptr, out_indices

@@ -12,6 +12,7 @@ from tpu_amg.partition.modularity import (
     PartitionerConfig,
     build_partition,
 )
+from tpu_amg.partition.multilevel import MultilevelPartitionerConfig
 
 __all__ = [
     "Partition",
@@ -21,4 +22,5 @@ __all__ = [
     "ModularityPartitioner",
     "PartitionerConfig",
     "build_partition",
+    "MultilevelPartitionerConfig",
 ]

@@ -134,6 +134,29 @@ class ModularityPartitioner:
         self.graph = self.base_graph.contract(p.node_to_agg, p.num_aggs)
 
     # ------------------------------------------------------------------
+    def rebase(self, base_partition: Partition):
+        """Re-partition on a coarser base: contract the strength graph by
+        ``base_partition`` and restart matching + improvement over the
+        aggregated nodes (reference Partitioner::rebase + aggregate,
+        modularity.rs:136-141, 208-234).  The caller composes the
+        returned coarse partition with ``base_partition``."""
+        base_partition.validate()
+        graph = self.base_graph.contract(
+            base_partition.node_to_agg, base_partition.num_aggs
+        )
+        self.base_graph = graph
+        self.graph = graph
+        self.base_row_sums = graph.row_sums()
+        self.inverse_total = 1.0 / max(self.base_row_sums.sum(), 1e-300)
+        n = graph.n
+        self.node_weights = np.ones(n, dtype=np.int64)
+        self.partition = Partition.singleton(n)
+        self.row_sums = self.base_row_sums.copy()
+        self.agg_sizes = self.node_weights.copy()
+        self.initialize_partition()
+        self.improve_partition()
+
+    # ------------------------------------------------------------------
     # Phase 1: greedy matching until target coarsening factor
     # ------------------------------------------------------------------
     def initialize_partition(self):
@@ -175,6 +198,16 @@ class ModularityPartitioner:
             return [], np.arange(vertex_count)
         order = np.argsort(-score, kind="stable")
         rows, cols = rows[order], cols[order]
+        try:
+            from tpu_amg.ops import native
+
+            if native.available():
+                pairs = native.greedy_match(rows, cols, vertex_count, target)
+                alive = np.ones(vertex_count, dtype=bool)
+                alive[pairs.reshape(-1)] = False
+                return pairs, np.flatnonzero(alive)
+        except Exception:
+            pass
         alive = np.ones(vertex_count, dtype=bool)
         pairs = []
         for i, j in zip(rows, cols):
@@ -280,6 +313,45 @@ class ModularityPartitioner:
         sel = order[first]
         return mi[sel], mt[sel], dq[sel]
 
+    def _apply_move_batch(self, nodes, dests, indptr, indices, node_to_agg):
+        """Apply gain-sorted moves with node/aggregate conflict freezing
+        incl. 1-hop neighbors (modularity.rs:477-504). Mutates
+        ``node_to_agg`` and ``self.agg_sizes``; returns swap count."""
+        try:
+            from tpu_amg.ops import native
+
+            if native.available():
+                agg_sizes = np.ascontiguousarray(self.agg_sizes, np.int64)
+                swaps = native.apply_moves(
+                    nodes, dests, indptr, indices, self.node_weights,
+                    node_to_agg, agg_sizes,
+                )
+                self.agg_sizes = agg_sizes
+                return swaps
+        except Exception:
+            pass
+        alive_nodes = np.ones(self.partition.num_nodes, dtype=bool)
+        alive_aggs = np.ones(self.partition.num_aggs, dtype=bool)
+        swaps = 0
+        for node, new_agg in zip(nodes, dests):
+            old_agg = node_to_agg[node]
+            if (
+                alive_nodes[node]
+                and alive_aggs[new_agg]
+                and alive_aggs[old_agg]
+            ):
+                node_to_agg[node] = new_agg
+                self.agg_sizes[old_agg] -= self.node_weights[node]
+                self.agg_sizes[new_agg] += self.node_weights[node]
+                swaps += 1
+                alive_aggs[new_agg] = False
+                alive_aggs[old_agg] = False
+                alive_nodes[node] = False
+                neigh = indices[indptr[node] : indptr[node + 1]]
+                alive_nodes[neigh] = False
+                alive_aggs[node_to_agg[neigh]] = False
+        return swaps
+
     def improve_partition(self):
         indptr = self.base_graph.adj.indptr
         indices = self.base_graph.adj.indices
@@ -297,26 +369,9 @@ class ModularityPartitioner:
                     self.config.callback(it, self)
                 break
             order = np.argsort(-dq, kind="stable")
-            alive_nodes = np.ones(self.partition.num_nodes, dtype=bool)
-            alive_aggs = np.ones(self.partition.num_aggs, dtype=bool)
-            swaps = 0
-            for node, new_agg in zip(mi[order], mt[order]):
-                old_agg = node_to_agg[node]
-                if (
-                    alive_nodes[node]
-                    and alive_aggs[new_agg]
-                    and alive_aggs[old_agg]
-                ):
-                    node_to_agg[node] = new_agg
-                    self.agg_sizes[old_agg] -= self.node_weights[node]
-                    self.agg_sizes[new_agg] += self.node_weights[node]
-                    swaps += 1
-                    alive_aggs[new_agg] = False
-                    alive_aggs[old_agg] = False
-                    alive_nodes[node] = False
-                    neigh = indices[indptr[node] : indptr[node + 1]]
-                    alive_nodes[neigh] = False
-                    alive_aggs[node_to_agg[neigh]] = False
+            swaps = self._apply_move_batch(
+                mi[order], mt[order], indptr, indices, node_to_agg
+            )
             if self.config.callback is not None:
                 self.config.callback(it, self)
             logger.debug("improvement pass %d: %d swaps", it, swaps)

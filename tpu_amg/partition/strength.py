@@ -93,6 +93,19 @@ class Graph:
 
 def _pattern_power(a: CSR, max_depth: int) -> sps.csr_matrix:
     """Boolean reachability within ``max_depth`` hops (incl. depth 1)."""
+    try:
+        from tpu_amg.ops import native
+
+        if native.available():
+            indptr, indices = native.bfs_reach(
+                a.indptr, a.indices, a.nrows, max_depth
+            )
+            return sps.csr_matrix(
+                (np.ones(len(indices)), indices, indptr),
+                shape=(a.nrows, a.nrows),
+            )
+    except Exception:
+        pass
     b = a.to_scipy().tocsr()
     b.data = np.ones_like(b.data)
     b.setdiag(1.0)  # closed neighborhoods so powers accumulate all depths

@@ -34,23 +34,32 @@ logger = logging.getLogger(__name__)
 class MultigridConfig:
     """Defaults: μ=1, smoothing_steps 1, Cholesky coarsest
     (multigrid.rs:35-44); smoother partition cf defaults to the CLI's
-    block_smoother_size 128 (examples/amg/main.rs:107)."""
+    block_smoother_size 128 (examples/amg/main.rs:107).
+
+    ``smoother``: "block" (the reference's additive-Schwarz
+    BlockSmoother), "chebyshev" (degree-``chebyshev_degree`` polynomial
+    in D⁻¹A — the TPU-native alternative with no partitioner cost),
+    or "l1"/"l2"/"jacobi" diagonal smoothing.
+    """
 
     mu: int = 1
     smoothing_steps: int = 1
     coarse_solver: Optional[str] = "cholesky"
+    smoother: str = "block"
+    chebyshev_degree: int = 3
     smoother_partitioner: PartitionerConfig = dataclasses.field(
         default_factory=lambda: PartitionerConfig(coarsening_factor=128.0)
     )
     dtype: object = jnp.float64
 
-    def build(self, hierarchy: Hierarchy) -> Multigrid:
-        level_count = hierarchy.num_levels
-        levels = []
-        for lvl in range(level_count - 1):
-            a = hierarchy.get_op(lvl)
-            nn = hierarchy.get_near_null(lvl)
-            w = hierarchy.get_nn_weights(lvl)
+    def _build_smoother(self, a, nn, w, a_op):
+        from tpu_amg.preconditioners.chebyshev import ChebyshevSmoother
+        from tpu_amg.preconditioners.smoothers import (
+            build_smoother,
+            l1_inverse_diag,
+        )
+
+        if self.smoother == "block":
             cfg = self.smoother_partitioner
             # cap cf so at least 2 aggregates exist
             n_nodes = a.nrows // a.block_size
@@ -61,8 +70,22 @@ class MultigridConfig:
             partition = cfg.build_partition(a, nn, w).expand_blocks(
                 a.block_size
             )
-            smoother = BlockSmoother.build(a, partition, dtype=self.dtype)
+            return BlockSmoother.build(a, partition, dtype=self.dtype)
+        if self.smoother == "chebyshev":
+            return ChebyshevSmoother.build(
+                a_op, l1_inverse_diag(a_op.ell), degree=self.chebyshev_degree
+            )
+        return build_smoother(self.smoother, a_op.ell)
+
+    def build(self, hierarchy: Hierarchy) -> Multigrid:
+        level_count = hierarchy.num_levels
+        levels = []
+        for lvl in range(level_count - 1):
+            a = hierarchy.get_op(lvl)
+            nn = hierarchy.get_near_null(lvl)
+            w = hierarchy.get_nn_weights(lvl)
             a_op = SparseOperator.from_csr(a, dtype=self.dtype)
+            smoother = self._build_smoother(a, nn, w, a_op)
             r_op = SparseOperator.from_csr(
                 hierarchy.get_restriction(lvl), dtype=self.dtype
             )
@@ -70,9 +93,6 @@ class MultigridConfig:
                 hierarchy.get_interpolation(lvl), dtype=self.dtype
             )
             levels.append(Level(a=a_op, smoother=smoother, r=r_op, p=p_op))
-            logger.debug(
-                "level %d smoother partition: %s", lvl, partition.info()
-            )
         coarse = build_coarse_solver(
             self.coarse_solver or "cholesky",
             hierarchy.get_op(level_count - 1),

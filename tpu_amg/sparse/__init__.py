@@ -13,6 +13,7 @@ Two complementary representations:
 """
 
 from tpu_amg.sparse.csr import CSR
+from tpu_amg.sparse.dia import DIA
 from tpu_amg.sparse.ell import ELL
 from tpu_amg.sparse.ops import (
     spgemm,
@@ -26,6 +27,7 @@ from tpu_amg.sparse.ops import (
 
 __all__ = [
     "CSR",
+    "DIA",
     "ELL",
     "spgemm",
     "rap",

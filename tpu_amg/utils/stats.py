@@ -53,6 +53,21 @@ def matrix_stats(a: CSR) -> MatrixStats:
     )
 
 
+def mats_are_equal(
+    a: CSR, b: CSR, rtol: float = 1e-12, atol: float = 1e-12
+) -> bool:
+    """Elementwise sparse-matrix comparison (reference utils.rs:32-58)."""
+    if a.shape != b.shape:
+        return False
+    rows_a, cols_a, vals_a = a.eliminate_zeros().coo()
+    rows_b, cols_b, vals_b = b.eliminate_zeros().coo()
+    if len(vals_a) != len(vals_b):
+        return False
+    if not (np.array_equal(rows_a, rows_b) and np.array_equal(cols_a, cols_b)):
+        return False
+    return bool(np.allclose(vals_a, vals_b, rtol=rtol, atol=atol))
+
+
 def format_stats_table(stats_list: List[MatrixStats], titles=None) -> str:
     """Aligned per-level stats table (reference utils.rs:176-241)."""
     titles = titles or [f"level {i}" for i in range(len(stats_list))]
