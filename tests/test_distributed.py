@@ -92,7 +92,11 @@ class TestShardedSolve:
         b = jnp.ones(256)
         x_ref, info_ref = cg(op, b, rtol=1e-10)
 
-        sop = shard_operator(op, mesh)
+        from tpu_amg.linop import SparseOperator
+
+        sop = shard_operator(
+            SparseOperator.from_csr(a, prefer_dia=False), mesh
+        )
         bs = shard_vector(b, mesh)
         x_sh, info_sh = jax.jit(
             lambda a_, b_: cg(a_, b_, rtol=1e-10)
@@ -107,8 +111,10 @@ class TestShardedSolve:
 
         fine, mg = build_geometric_mg(refinements=5, coarse_elements=8)
         # fine has 8*2^5=256 elements -> 255 dofs; pad to 256
+        from tpu_amg.linop import SparseOperator
+
         a_ell = pad_ell_identity(
-            aslinearoperator(fine).ell, 8
+            SparseOperator.from_csr(fine, prefer_dia=False).ell, 8
         )
         n = a_ell.nrows
         a_op = SparseOperator(ell=shard_ell(a_ell, mesh))

@@ -101,12 +101,31 @@ class SparseOperator(LinearOperator):
         return self.ell.mm(xs)
 
     @staticmethod
-    def from_csr(csr: CSR, dtype=jnp.float64, with_transpose: bool = False):
-        ell = ELL.from_csr(csr, dtype=dtype)
+    def from_csr(
+        csr: CSR,
+        dtype=jnp.float64,
+        with_transpose: bool = False,
+        prefer_dia: bool = True,
+    ):
+        """Pick the fastest device format: DIA when the matrix is
+        diagonal-structured and reasonably dense along its diagonals
+        (structured-grid stencils — gather-free SpMV, ~60x faster than
+        the ELL gather path on TPU), ELL otherwise."""
+        mat = None
+        if prefer_dia and csr.is_square:
+            from tpu_amg.sparse.dia import try_from_csr
+
+            dia = try_from_csr(csr, dtype=dtype, max_diags=32)
+            if dia is not None and len(dia.offsets) * csr.nrows <= 3 * max(
+                csr.nnz, 1
+            ):
+                mat = dia
+        if mat is None:
+            mat = ELL.from_csr(csr, dtype=dtype)
         ell_t = (
             ELL.from_csr(csr.transpose(), dtype=dtype) if with_transpose else None
         )
-        return SparseOperator(ell=ell, ell_t=ell_t)
+        return SparseOperator(ell=mat, ell_t=ell_t)
 
 
 @jax.tree_util.register_dataclass

@@ -21,20 +21,41 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 TILE = 8 * 1024
 VMEM_X_LIMIT = 3_000_000  # max padded-x elements kept fully in VMEM
 
 
+LANES = 128
+
+
 def _kernel(xp_ref, data_ref, y_ref, *, offsets, lo, tile):
+    """Aligned-slab loads + static lane rotates.
+
+    Mosaic cannot issue dynamically-unaligned vector loads, so each
+    diagonal's shifted read is decomposed into a 128-aligned slab of
+    tile+128 lanes plus a *static* lane rotate (offsets are
+    trace-time constants): slab[r : r+tile] == xp[base+off : base+off+tile]
+    where r = (lo + off) % 128 and the slab starts at the aligned
+    base + off - r.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
     i = pl.program_id(0)
-    base = i * tile + lo
-    acc = data_ref[0:1, :] * xp_ref[0:1, pl.ds(base + offsets[0], tile)]
-    for d in range(1, len(offsets)):
-        acc += data_ref[d : d + 1, :] * xp_ref[
-            0:1, pl.ds(base + offsets[d], tile)
-        ]
+    acc = None
+    for d, off in enumerate(offsets):
+        shifted = lo + off
+        aligned = (shifted // LANES) * LANES
+        r = shifted - aligned
+        slab = xp_ref[0:1, pl.ds(i * tile + aligned, tile + LANES)]
+        if r:
+            # left-shift by r == right-roll by (len - r); pltpu.roll
+            # requires a non-negative shift
+            slab = pltpu.roll(slab, np.int32(tile + LANES - r), 1)
+        term = data_ref[d : d + 1, :] * slab[0:1, :tile]
+        acc = term if acc is None else acc + term
     y_ref[0:1, :] = acc
 
 
@@ -88,7 +109,8 @@ def dia_spmv_pallas(dia, x, interpret=None):
         raise ValueError("x too large for VMEM-resident kernel")
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    xp = jnp.pad(x, (lo, hi)).reshape(1, -1)
+    # right pad includes one extra lane-group for the aligned slab reads
+    xp = jnp.pad(x, (lo, hi + LANES)).reshape(1, -1)
     return _dia_spmv_call(
         dia.data, xp, tuple(dia.offsets), n, lo, interpret=interpret
     )

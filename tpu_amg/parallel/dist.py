@@ -59,6 +59,11 @@ def pad_ell_identity(ell: ELL, multiple: int) -> ELL:
 
 def shard_ell(ell: ELL, mesh: Mesh, axis: str = "x") -> ELL:
     """Row-shard data/cols over the mesh axis (P(axis, None))."""
+    if not hasattr(ell, "cols"):
+        raise TypeError(
+            "shard_ell requires the ELL format (build the operator with "
+            "prefer_dia=False for the distributed path)"
+        )
     n_dev = mesh.shape[axis]
     if ell.nrows % n_dev != 0:
         raise ValueError(

@@ -25,11 +25,20 @@ def _densify(a) -> jnp.ndarray:
     if isinstance(a, CSR):
         return jnp.asarray(a.to_dense())
     if hasattr(a, "ell"):
-        ell = a.ell
-        dense = np.zeros(ell.shape)
-        cols = np.asarray(ell.cols)
-        data = np.asarray(ell.data)
-        np.add.at(dense, (np.arange(ell.shape[0])[:, None], cols), data)
+        a = a.ell
+    if hasattr(a, "offsets"):  # DIA
+        n = a.shape[0]
+        dense = np.zeros(a.shape)
+        data = np.asarray(a.data)
+        for d, off in enumerate(a.offsets):
+            rows = np.arange(max(0, -off), min(n, n - off))
+            dense[rows, rows + off] = data[d, rows]
+        return jnp.asarray(dense)
+    if hasattr(a, "cols"):  # ELL
+        dense = np.zeros(a.shape)
+        cols = np.asarray(a.cols)
+        data = np.asarray(a.data)
+        np.add.at(dense, (np.arange(a.shape[0])[:, None], cols), data)
         return jnp.asarray(dense)
     return jnp.asarray(a)
 

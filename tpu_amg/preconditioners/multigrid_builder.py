@@ -51,13 +51,12 @@ class MultigridConfig:
         default_factory=lambda: PartitionerConfig(coarsening_factor=128.0)
     )
     dtype: object = jnp.float64
+    prefer_dia: bool = True  # DIA fast path for diagonal-structured levels
+    dense_threshold: int = 2048  # densify small coarse levels (MXU matvec)
 
     def _build_smoother(self, a, nn, w, a_op):
+        from tpu_amg.linop import DiagonalOperator
         from tpu_amg.preconditioners.chebyshev import ChebyshevSmoother
-        from tpu_amg.preconditioners.smoothers import (
-            build_smoother,
-            l1_inverse_diag,
-        )
 
         if self.smoother == "block":
             cfg = self.smoother_partitioner
@@ -71,11 +70,30 @@ class MultigridConfig:
                 a.block_size
             )
             return BlockSmoother.build(a, partition, dtype=self.dtype)
+        # diagonal quantities from the host CSR (works for every device
+        # operator type: DIA/ELL/Dense)
         if self.smoother == "chebyshev":
+            d_inv = jnp.asarray(1.0 / a.abs_row_sums(), dtype=self.dtype)
             return ChebyshevSmoother.build(
-                a_op, l1_inverse_diag(a_op.ell), degree=self.chebyshev_degree
+                a_op, d_inv, degree=self.chebyshev_degree
             )
-        return build_smoother(self.smoother, a_op.ell)
+        if self.smoother == "l1":
+            diag = 1.0 / a.abs_row_sums()
+        elif self.smoother == "jacobi":
+            diag = 0.66 / a.diagonal()
+        elif self.smoother == "l2":
+            import numpy as np
+
+            d = a.diagonal()
+            rows, cols, vals = a.coo()
+            acc = np.zeros(a.nrows)
+            np.add.at(
+                acc, rows, np.abs(vals) * np.sqrt(d[rows]) / np.sqrt(d[cols])
+            )
+            diag = 1.0 / acc
+        else:
+            raise ValueError(f"unknown smoother {self.smoother!r}")
+        return DiagonalOperator(diag=jnp.asarray(diag, dtype=self.dtype))
 
     def build(self, hierarchy: Hierarchy) -> Multigrid:
         level_count = hierarchy.num_levels
@@ -84,7 +102,18 @@ class MultigridConfig:
             a = hierarchy.get_op(lvl)
             nn = hierarchy.get_near_null(lvl)
             w = hierarchy.get_nn_weights(lvl)
-            a_op = SparseOperator.from_csr(a, dtype=self.dtype)
+            if a.nrows <= self.dense_threshold:
+                # small coarse levels: dense matvec on the MXU beats any
+                # gather-based sparse path on TPU
+                from tpu_amg.linop import DenseOperator
+
+                a_op = DenseOperator(
+                    mat=jnp.asarray(a.to_dense(), dtype=self.dtype)
+                )
+            else:
+                a_op = SparseOperator.from_csr(
+                    a, dtype=self.dtype, prefer_dia=self.prefer_dia
+                )
             smoother = self._build_smoother(a, nn, w, a_op)
             r_op = SparseOperator.from_csr(
                 hierarchy.get_restriction(lvl), dtype=self.dtype

@@ -27,33 +27,45 @@ from tpu_amg.linop import DiagonalOperator, LinearOperator
 from tpu_amg.sparse.ell import ELL
 
 
-def _as_ell(a) -> ELL:
-    if isinstance(a, ELL):
-        return a
+def _as_matrix(a):
+    """Accept ELL, DIA, or a SparseOperator wrapping either."""
     if hasattr(a, "ell"):
         return a.ell
-    raise TypeError(f"expected ELL or SparseOperator, got {type(a)}")
+    if hasattr(a, "abs_row_sums"):
+        return a
+    raise TypeError(f"expected ELL/DIA or SparseOperator, got {type(a)}")
 
 
 def l1_inverse_diag(a) -> jax.Array:
     """1 / Σⱼ|aᵢⱼ| (reference new_l1, smoothers.rs:63-76)."""
-    ell = _as_ell(a)
-    return 1.0 / ell.abs_row_sums()
+    mat = _as_matrix(a)
+    return 1.0 / mat.abs_row_sums()
 
 
 def l2_inverse_diag(a) -> jax.Array:
     """1 / Σⱼ(|aᵢⱼ|·√(aᵢᵢ)/√(aⱼⱼ)) (reference new_l2, smoothers.rs:43-61)."""
-    ell = _as_ell(a)
-    diag_sqrt = jnp.sqrt(ell.diagonal())
-    scale = diag_sqrt[:, None] / jnp.take(diag_sqrt, ell.cols, axis=0)
-    d = jnp.sum(jnp.abs(ell.data) * scale, axis=1)
+    mat = _as_matrix(a)
+    diag_sqrt = jnp.sqrt(mat.diagonal())
+    if hasattr(mat, "cols"):  # ELL
+        scale = diag_sqrt[:, None] / jnp.take(diag_sqrt, mat.cols, axis=0)
+        d = jnp.sum(jnp.abs(mat.data) * scale, axis=1)
+    else:  # DIA: column index of diagonal d at row i is i + offset_d
+        lo, hi = mat._pad
+        dpad = jnp.pad(diag_sqrt, (lo, hi), constant_values=1.0)
+        n = mat.nrows
+        d = jnp.zeros(n, dtype=mat.dtype)
+        for k, off in enumerate(mat.offsets):
+            start = lo + off
+            d = d + jnp.abs(mat.data[k]) * (
+                diag_sqrt / jax.lax.slice_in_dim(dpad, start, start + n)
+            )
     return 1.0 / d
 
 
 def jacobi_inverse_diag(a, omega: float = 1.0) -> jax.Array:
     """ω / aᵢᵢ (reference new_jacobi, smoothers.rs:78-86)."""
-    ell = _as_ell(a)
-    return omega / ell.diagonal()
+    mat = _as_matrix(a)
+    return omega / mat.diagonal()
 
 
 def build_smoother(kind: str, a, omega: float = 1.0) -> DiagonalOperator:
