@@ -49,12 +49,13 @@ logger = logging.getLogger(__name__)
 def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
     """iterations × (x ← QR(E x)) plus per-column convergence factors."""
 
+    from tpu_amg.ops.qr import orthonormalize
+
     def body(_, x):
         ex = x - m.mm(a.mm(x))
-        q, _ = jnp.linalg.qr(ex)
-        return q
+        return orthonormalize(ex)
 
-    x, _ = jnp.linalg.qr(x0)
+    x = orthonormalize(x0)
     x = jax.lax.fori_loop(0, iterations, body, x)
     ax = a.mm(x)
     w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))

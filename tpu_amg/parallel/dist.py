@@ -148,7 +148,11 @@ def shard_multigrid(
     new_levels = []
     for level in mg.levels:
         n = level.a.shape[0]
-        if n >= replicate_below and n % n_dev == 0:
+        if (
+            isinstance(level.a, SparseOperator)
+            and n >= replicate_below
+            and n % n_dev == 0
+        ):
             a = shard_operator(level.a, mesh, axis)
             smoother = (
                 _shard_block_smoother(level.smoother, mesh, axis)

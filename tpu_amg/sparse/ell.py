@@ -139,6 +139,14 @@ class ELL:
             return self.mv(xs)
         m = xs.shape[1]
         acc0 = jnp.zeros((self.nrows, m), dtype=jnp.result_type(self.dtype, xs.dtype))
+        # the scan carry must match the (sharded) step output: rows
+        # follow the matrix sharding, columns follow xs's column sharding
+        row_spec = jax.typeof(self.cols).sharding.spec[0]
+        col_spec = tuple(jax.typeof(xs).sharding.spec)[1:]
+        if row_spec is not None or any(s is not None for s in col_spec):
+            from jax.sharding import PartitionSpec as P
+
+            acc0 = jax.sharding.reshard(acc0, P(row_spec, *col_spec))
 
         def step(acc, dk_ck):
             dk, ck = dk_ck
