@@ -1,0 +1,156 @@
+"""High-level solver facade: one-call setup + reusable jitted solves.
+
+The reference exposes its pipeline only through example binaries; this
+is the production API a user actually wants:
+
+    solver = AMGSolver.setup(csr_matrix)           # expensive, once
+    x, info = solver.solve(b)                      # fast, repeatable
+    solver.save("hier.npz") / AMGSolver.load(...)  # checkpoint/resume
+
+Setup runs host-side (partitioning, Galerkin products); the returned
+solver holds device-side operators, and ``solve`` is a single jitted
+PCG + V-cycle program reused across right-hand sides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_amg.adaptivity import AdaptiveConfig, find_near_null
+from tpu_amg.hierarchy import Hierarchy, HierarchyConfig, create_weights
+from tpu_amg.interpolation import AggregationConfig, InterpolationConfig
+from tpu_amg.linop import aslinearoperator
+from tpu_amg.partition import PartitionerConfig
+from tpu_amg.preconditioners.multigrid_builder import MultigridConfig
+from tpu_amg.solvers import cg, stationary_iteration
+from tpu_amg.sparse import CSR
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """One knob set covering the reference CLI's surface
+    (examples/amg/main.rs:32-121)."""
+
+    method: str = "sa"  # "sa" | "classical" | "adaptive"
+    coarsening_near_null_dim: int = 16
+    interp_near_null_dim: int = 4  # SA candidate dimension
+    smoothing_iters: int = 20
+    coarsening_factor: float = 8.0
+    aggregation_iters: int = 100
+    coarsest_dim: int = 1000
+    max_levels: Optional[int] = None
+    smoother: str = "chebyshev"  # "block" | "chebyshev" | "l1" | ...
+    smoothing_steps: int = 2
+    mu: int = 1
+    block_smoother_size: float = 128.0
+    composite_components: int = 3  # for method="adaptive"
+    dtype: object = jnp.float64
+    seed: int = 0
+
+
+class AMGSolver:
+    def __init__(self, a: CSR, preconditioner, hierarchy=None, config=None):
+        self.matrix = a
+        self.op = aslinearoperator(a, dtype=getattr(config, "dtype", jnp.float64))
+        self.preconditioner = preconditioner
+        self.hierarchy = hierarchy
+        self.config = config
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def setup(a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
+        config = config or SolverConfig()
+        key = jax.random.PRNGKey(config.seed)
+        interp = InterpolationConfig(
+            kind="aggregation" if config.method in ("sa", "adaptive") else "classical",
+            aggregation=AggregationConfig(
+                candidate_dimension=config.interp_near_null_dim,
+                partitioner_config=PartitionerConfig(
+                    coarsening_factor=config.coarsening_factor,
+                    max_improvement_iters=config.aggregation_iters,
+                ),
+            ),
+        )
+        hier_cfg = HierarchyConfig(
+            coarsest_dim=config.coarsest_dim,
+            interpolation_config=interp,
+            max_levels=config.max_levels,
+        )
+        mg_cfg = MultigridConfig(
+            mu=config.mu,
+            smoothing_steps=config.smoothing_steps,
+            smoother=config.smoother,
+            dtype=config.dtype,
+            smoother_partitioner=PartitionerConfig(
+                coarsening_factor=config.block_smoother_size,
+                max_improvement_iters=50,
+            ),
+        )
+        if config.method == "adaptive":
+            pc = AdaptiveConfig(
+                hierarchy_config=hier_cfg,
+                multigrid_config=mg_cfg,
+                max_components=config.composite_components,
+                test_iters=config.smoothing_iters,
+                coarsening_near_null_dim=config.coarsening_near_null_dim,
+            ).build(a, key)
+            return AMGSolver(a, pc, hierarchy=None, config=config)
+
+        nn = find_near_null(
+            a,
+            config.smoothing_iters,
+            config.coarsening_near_null_dim - 1,
+            config.block_smoother_size,
+            key,
+        )
+        basis, _ = np.linalg.qr(
+            np.concatenate([np.ones((a.nrows, 1)), nn], axis=1)
+        )
+        hierarchy = hier_cfg.build(a, basis, create_weights(a, basis))
+        mg = mg_cfg.build(hierarchy)
+        return AMGSolver(a, mg, hierarchy=hierarchy, config=config)
+
+    # ------------------------------------------------------------------
+    def solve(self, b, x0=None, *, rtol: float = 1e-8, maxiter: int = 500,
+              method: str = "cg"):
+        """PCG (default) or stationary solve; jit-compiled and cached
+        per (shape, rtol, maxiter)."""
+        b = jnp.asarray(b)
+        driver = cg if method == "cg" else stationary_iteration
+        return driver(
+            self.op, b, self.preconditioner, x0, rtol=rtol, maxiter=maxiter
+        )
+
+    def apply_preconditioner(self, r):
+        return self.preconditioner.mv(jnp.asarray(r))
+
+    # ------------------------------------------------------------------
+    def save(self, path) -> None:
+        if self.hierarchy is None:
+            raise ValueError("adaptive composite solvers are not yet serializable")
+        from tpu_amg.utils.checkpoint import save_hierarchy
+
+        save_hierarchy(path, self.hierarchy)
+
+    @staticmethod
+    def load(path, a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
+        from tpu_amg.utils.checkpoint import load_hierarchy
+
+        config = config or SolverConfig()
+        hierarchy = load_hierarchy(path)
+        mg = MultigridConfig(
+            mu=config.mu,
+            smoothing_steps=config.smoothing_steps,
+            smoother=config.smoother,
+            dtype=config.dtype,
+            smoother_partitioner=PartitionerConfig(
+                coarsening_factor=config.block_smoother_size,
+                max_improvement_iters=50,
+            ),
+        ).build(hierarchy)
+        return AMGSolver(a, mg, hierarchy=hierarchy, config=config)
