@@ -23,10 +23,13 @@ def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def measure_stream_bandwidth(jnp, jax, dtype, reps=20):
-    """Effective HBM bandwidth via a chained triad inside ONE executable
-    (x ← x + 0.5·y repeated; chain prevents dedup/reorder)."""
-    n = 32 * 1024 * 1024  # 128 MB per f32 array
+def measure_stream_bandwidth(jnp, jax, dtype, working_set_bytes, reps=2000,
+                             trials=3):
+    """Achievable stream rate for a working set comparable to the SpMV's
+    (x ← x + 0.5·y chained inside one executable; same-size arrays so
+    VMEM residency effects match).  Min-of-trials to shrug off noisy
+    neighbors on shared devices."""
+    n = max(working_set_bytes // (2 * np.dtype(np.float32).itemsize), 1)
     x = jnp.ones((n,), dtype=dtype)
     y = jnp.full((n,), 2.0, dtype=dtype)
 
@@ -38,11 +41,13 @@ def measure_stream_bandwidth(jnp, jax, dtype, reps=20):
         return v
 
     _sync(triad_n(x, y))  # warmup/compile
-    t0 = time.perf_counter()
-    _sync(triad_n(x, y))
-    dt = (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _sync(triad_n(x, y))
+        best = min(best, (time.perf_counter() - t0) / reps)
     bytes_moved = 3 * n * np.dtype(np.float32).itemsize
-    return bytes_moved / dt
+    return bytes_moved / best
 
 
 def main():
@@ -63,7 +68,7 @@ def main():
     nnz = a.nnz
     x = jnp.ones((n,), dtype=jnp.float32)
 
-    def time_spmv(mat, reps=50):
+    def time_spmv(mat, reps=2000, trials=3):
         @jax.jit
         def spmv_n(m, v):
             def body(u, _):
@@ -72,11 +77,14 @@ def main():
             return u
 
         _sync(spmv_n(mat, x))  # warmup/compile
-        t0 = time.perf_counter()
-        _sync(spmv_n(mat, x))
-        return (time.perf_counter() - t0) / reps
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _sync(spmv_n(mat, x))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
 
-    def time_spmv_fn(fn, x0, reps=50):
+    def time_spmv_fn(fn, x0, reps=500):
         @jax.jit
         def spmv_n(v):
             def body(u, _):
@@ -92,7 +100,7 @@ def main():
     print("# building ELL...", file=sys.stderr, flush=True)
     ell = ELL.from_csr(a, dtype=jnp.float32)
     print("# timing ELL spmv...", file=sys.stderr, flush=True)
-    dt_ell = time_spmv(ell)
+    dt_ell = time_spmv(ell, reps=100, trials=1)  # slow path
     print(f"# ell {dt_ell*1e3:.3f}ms; building DIA...", file=sys.stderr, flush=True)
     dia = try_from_csr(a, dtype=jnp.float32)
     dt_dia = time_spmv(dia) if dia is not None else float("inf")
@@ -136,8 +144,8 @@ def main():
 
     # roofline: lower bound on traffic for ANY SpMV = values once + x once
     # + y once (index streams are format overhead we aim to eliminate)
-    bw = measure_stream_bandwidth(jnp, jax, jnp.float32)
     bytes_min = 4 * nnz + 4 * n + 4 * n
+    bw = measure_stream_bandwidth(jnp, jax, jnp.float32, bytes_min)
     roofline_nnz_s = nnz * bw / bytes_min
     target = 0.70 * roofline_nnz_s
 

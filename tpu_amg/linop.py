@@ -120,6 +120,12 @@ class SparseOperator(LinearOperator):
                 csr.nnz, 1
             ):
                 mat = dia
+        if mat is None and csr.block_size > 1 and csr.is_square:
+            # block-structured levels (SA coarse grids): block gathers
+            # amortize the gather count by block_size
+            from tpu_amg.sparse.bsr import BSR
+
+            mat = BSR.from_csr(csr, dtype=dtype)
         if mat is None:
             mat = ELL.from_csr(csr, dtype=dtype)
         ell_t = (

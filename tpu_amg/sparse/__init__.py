@@ -12,6 +12,7 @@ Two complementary representations:
   (reference par_spmm.rs).
 """
 
+from tpu_amg.sparse.bsr import BSR
 from tpu_amg.sparse.csr import CSR
 from tpu_amg.sparse.dia import DIA
 from tpu_amg.sparse.ell import ELL
@@ -26,6 +27,7 @@ from tpu_amg.sparse.ops import (
 )
 
 __all__ = [
+    "BSR",
     "CSR",
     "DIA",
     "ELL",
