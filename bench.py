@@ -23,13 +23,12 @@ def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def measure_stream_bandwidth(jnp, jax, dtype, working_set_bytes, reps=2000,
-                             trials=3):
-    """Achievable stream rate for a working set comparable to the SpMV's
-    (x ← x + 0.5·y chained inside one executable; same-size arrays so
-    VMEM residency effects match).  Min-of-trials to shrug off noisy
-    neighbors on shared devices."""
-    n = max(working_set_bytes // (2 * np.dtype(np.float32).itemsize), 1)
+def measure_stream_bandwidth(jnp, jax, dtype, reps=200, trials=3):
+    """Classic STREAM triad: HBM-resident working set (256 MB — far
+    beyond VMEM), chained inside one executable.  This is the roofline
+    denominator in the usual sense (HBM-bandwidth-bound SpMV).
+    Min-of-trials to shrug off noisy neighbors on shared devices."""
+    n = 32 * 1024 * 1024  # 2 × 128 MB f32 arrays
     x = jnp.ones((n,), dtype=dtype)
     y = jnp.full((n,), 2.0, dtype=dtype)
 
@@ -145,7 +144,7 @@ def main():
     # roofline: lower bound on traffic for ANY SpMV = values once + x once
     # + y once (index streams are format overhead we aim to eliminate)
     bytes_min = 4 * nnz + 4 * n + 4 * n
-    bw = measure_stream_bandwidth(jnp, jax, jnp.float32, bytes_min)
+    bw = measure_stream_bandwidth(jnp, jax, jnp.float32)
     roofline_nnz_s = nnz * bw / bytes_min
     target = 0.70 * roofline_nnz_s
 

@@ -121,3 +121,53 @@ class TestClassicalBuild:
         _, smoother_only = cg(op, b, lvl.smoother, rtol=1e-10)
         assert bool(info.converged)
         assert int(info.iters) < int(smoother_only.iters)
+
+
+class TestBatchedLS:
+    def test_batch_matches_per_point(self):
+        from tpu_amg.interpolation.classical import (
+            _ls_interp_weights_batch,
+            ls_interp_weights,
+        )
+
+        rng = np.random.default_rng(0)
+        P, L, k = 20, 5, 3
+        vf = rng.normal(size=(P, k))
+        vc = rng.normal(size=(P, L, k))
+        d = np.abs(rng.normal(size=k)) + 0.1
+        w_all, set_all, size_all = _ls_interp_weights_batch(
+            vf, vc, d, 3, 1.2, "constrained"
+        )
+        for p in range(P):
+            w_ref, set_ref, _ = ls_interp_weights(
+                vf[p], vc[p], d, 3, 1.2, "constrained"
+            )
+            assert size_all[p] == len(set_ref)
+            np.testing.assert_allclose(
+                w_all[p, : size_all[p]], w_ref, atol=1e-10
+            )
+            assert set_all[p, : size_all[p]].tolist() == set_ref
+
+    def test_batch_matches_regularized(self):
+        from tpu_amg.interpolation.classical import (
+            _ls_interp_weights_batch,
+            ls_interp_weights,
+        )
+
+        rng = np.random.default_rng(1)
+        P, L, k = 10, 4, 4
+        vf = rng.normal(size=(P, k))
+        vc = rng.normal(size=(P, L, k))
+        d = np.ones(k)
+        w_all, set_all, size_all = _ls_interp_weights_batch(
+            vf, vc, d, 2, None, "regularized"
+        )
+        for p in range(P):
+            w_ref, set_ref, _ = ls_interp_weights(
+                vf[p], vc[p], d, 2, None, "regularized"
+            )
+            assert size_all[p] == len(set_ref)
+            if len(set_ref):
+                np.testing.assert_allclose(
+                    w_all[p, : size_all[p]], w_ref, atol=1e-10
+                )

@@ -35,7 +35,7 @@ if not os.environ.get("TPU_AMG_NO_COMPILE_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-from tpu_amg import sparse  # noqa: E402
+from tpu_amg import errors, sparse  # noqa: E402
 from tpu_amg.linop import (  # noqa: E402
     LinearOperator,
     SparseOperator,
@@ -48,6 +48,7 @@ from tpu_amg.linop import (  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
+    "errors",
     "sparse",
     "LinearOperator",
     "SparseOperator",

@@ -281,6 +281,68 @@ def ls_interp_weights(
     return accepted_w, accepted_set, accepted_err
 
 
+def _ls_interp_weights_batch(
+    vf_all: np.ndarray,  # (P, k)
+    vc_all: np.ndarray,  # (P, L, k)
+    d: np.ndarray,
+    max_interp: int,
+    gamma: float,
+    mode: str,
+):
+    """Batched ls_interp_weights over P points sharing candidate count L.
+
+    Returns (weights (P, max_interp), local set ids (P, max_interp),
+    sizes (P,)). Identical numerics to the per-point path — the subset
+    enumeration is shared across the bucket and every Gram subsystem is
+    solved in one batched pseudo-inverse/KKT pass.
+    """
+    p_count, ell, k = vc_all.shape
+    vc_d = vc_all * d  # (P, L, k)
+    gram = np.einsum("plk,pqk->plq", vc_d, vc_all)
+    g = np.einsum("plk,pk->pl", vc_d, vf_all)
+    btb = np.einsum("pk,pk->p", vf_all, vf_all * d)
+
+    acc_w = np.zeros((p_count, max_interp))
+    acc_set = np.zeros((p_count, max_interp), dtype=np.int64)
+    acc_size = np.zeros(p_count, dtype=np.int64)
+    acc_err = btb.copy()
+    solver = (
+        _solve_subsets_constrained
+        if mode == "constrained"
+        else _solve_subsets_regularized
+    )
+
+    for r in range(1, min(ell, max_interp) + 1):
+        idx = np.array(list(combinations(range(ell), r)), dtype=np.int64)
+        s_count = len(idx)
+        gram_ff = gram[:, idx[:, :, None], idx[:, None, :]]  # (P,S,r,r)
+        gf = g[:, idx]  # (P, S, r)
+        w_flat, err_flat, valid_flat = solver(
+            gram_ff.reshape(p_count * s_count, r, r),
+            gf.reshape(p_count * s_count, r),
+            np.repeat(btb, s_count),
+        )
+        err = np.where(valid_flat, err_flat, np.inf).reshape(p_count, s_count)
+        w = w_flat.reshape(p_count, s_count, r)
+        best = np.argmin(err, axis=1)  # (P,)
+        best_err = err[np.arange(p_count), best]
+        has_valid = np.isfinite(best_err)
+        if gamma is None:
+            accept = best_err < acc_err
+        else:
+            dr = r - acc_size
+            accept = best_err < acc_err ** (gamma * dr)
+        accept &= has_valid
+        sel = np.flatnonzero(accept)
+        if len(sel):
+            acc_w[sel, :r] = w[sel, best[sel]]
+            acc_w[sel, r:] = 0.0
+            acc_set[sel, :r] = idx[best[sel]]
+            acc_size[sel] = r
+            acc_err[sel] = best_err[sel]
+    return acc_w, acc_set, acc_size
+
+
 # ----------------------------------------------------------------------
 # full classical coarsening
 # ----------------------------------------------------------------------
@@ -338,7 +400,13 @@ def least_squares_interpolation(
     c_rank = -np.ones(n, dtype=np.int64)
     c_rank[split.c_points] = np.arange(n_coarse)
 
+    # group non-C points by candidate count L so all LS subset solves
+    # for a bucket run as ONE batched linear-algebra pass (TPU-first
+    # replacement for the reference's rayon per-point loop,
+    # mod.rs:670-702); very large candidate sets fall back to the
+    # per-point path.
     indptr, indices = reach.indptr, reach.indices
+    buckets: dict = {}
     for i in range(n):
         if is_c[i]:
             continue
@@ -346,18 +414,32 @@ def least_squares_interpolation(
         cand = neigh[is_c[neigh]]
         if len(cand) == 0:
             continue
-        weights, subset, _ = ls_interp_weights(
-            near_null[i],
-            near_null[cand],
-            d,
-            ls.max_interp,
-            ls.tau_threshold,
-            ls.solver,
-        )
-        for w, local in zip(weights, subset):
-            rows_p.append(i)
-            cols_p.append(int(c_rank[cand[local]]))
-            vals_p.append(float(w))
+        buckets.setdefault(len(cand), []).append((i, cand))
+
+    batch_limit = 16  # C(16,3)=560 subsets: fine batched; beyond, loop
+    for ell_count, items in buckets.items():
+        if ell_count <= batch_limit and len(items) > 1:
+            pts = np.array([i for i, _ in items])
+            cands = np.array([c for _, c in items])  # (P, L)
+            w_all, set_all, size_all = _ls_interp_weights_batch(
+                near_null[pts], near_null[cands], d,
+                ls.max_interp, ls.tau_threshold, ls.solver,
+            )
+            for p in range(len(pts)):
+                for s in range(size_all[p]):
+                    rows_p.append(int(pts[p]))
+                    cols_p.append(int(c_rank[cands[p, set_all[p, s]]]))
+                    vals_p.append(float(w_all[p, s]))
+        else:
+            for i, cand in items:
+                weights, subset, _ = ls_interp_weights(
+                    near_null[i], near_null[cand], d,
+                    ls.max_interp, ls.tau_threshold, ls.solver,
+                )
+                for w, local in zip(weights, subset):
+                    rows_p.append(i)
+                    cols_p.append(int(c_rank[cand[local]]))
+                    vals_p.append(float(w))
 
     p = from_coo(rows_p, cols_p, vals_p, (n, n_coarse))
     r = p.transpose()

@@ -86,13 +86,15 @@ class Partition:
 
     def validate(self) -> None:
         """Bijection sanity check (reference mod.rs:144-158)."""
+        from tpu_amg.errors import PartitionError
+
         if self.num_nodes == 0:
             return
         sizes = self.agg_sizes()
         if (sizes == 0).any():
-            raise ValueError("empty aggregate after renumbering (bug)")
+            raise PartitionError("empty aggregate after renumbering (bug)")
         if sizes.sum() != self.num_nodes:
-            raise ValueError("partition does not cover all nodes")
+            raise PartitionError("partition does not cover all nodes")
 
     def expand_blocks(self, block_size: int) -> "Partition":
         """Lift a partition of block-nodes to a partition of scalar dofs

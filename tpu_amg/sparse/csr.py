@@ -50,14 +50,18 @@ class CSR:
     block_size: int = 1
 
     def __post_init__(self):
+        from tpu_amg.errors import SparseFormatError
+
         nrows, _ = self.shape
         if len(self.indptr) != nrows + 1:
-            raise ValueError(
+            raise SparseFormatError(
                 f"indptr length {len(self.indptr)} != nrows+1 ({nrows + 1})"
             )
         if self.block_size > 1 and nrows % self.block_size != 0:
             # reference core.rs:103-110 panics on indivisible block size
-            raise ValueError(
+            from tpu_amg.errors import SparseFormatError
+
+            raise SparseFormatError(
                 f"nrows {nrows} not divisible by block_size {self.block_size}"
             )
 
