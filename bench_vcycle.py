@@ -1,0 +1,103 @@
+"""V-cycle wall-time benchmark (BASELINE.md: "V-cycle wall-time
+speed-of-light per-kernel").
+
+Builds the gather-free structured SA multigrid on a ~900k-dof 3-D
+Poisson problem (96³) and times one full V-cycle application on the
+device, plus its speed-of-light estimate from the sum of per-kernel
+minimum traffic at the measured stream rate.
+
+Prints one JSON line (vs_baseline = SOL-estimate / measured; 1.0 means
+the cycle runs at the sum-of-kernels roofline).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    return float(np.asarray(x.ravel()[0]))
+
+
+def main():
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # jax may be pre-imported; env alone is unreliable
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from bench import measure_stream_bandwidth
+    from tpu_amg.structured import build_structured_multigrid
+    from tpu_amg.utils.problems import poisson3d
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    n_grid = 96 if on_tpu else 24
+    t0 = time.time()
+    a = poisson3d(n_grid)
+    mg = build_structured_multigrid(
+        a, (n_grid,) * 3, coarsest_dim=1500, dtype=jnp.float32
+    )
+    print(
+        f"# setup {time.time()-t0:.1f}s: {len(mg.levels)+1} levels, "
+        f"fine n={a.nrows} nnz={a.nnz}",
+        file=sys.stderr, flush=True,
+    )
+
+    x = jnp.ones(a.nrows, dtype=jnp.float32)
+    reps = 200
+
+    @jax.jit
+    def cycle_n(m, v):
+        def body(u, _):
+            return m.mv(u), None
+
+        u, _ = jax.lax.scan(body, v, None, length=reps)
+        return u
+
+    _sync(cycle_n(mg, x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(cycle_n(mg, x))
+        best = min(best, (time.perf_counter() - t0) / reps)
+
+    # speed-of-light estimate: every level contributes
+    # (pre+post smoothing = 2×deg SpMV passes + transfers + residual)
+    bw = measure_stream_bandwidth(jnp, jax, jnp.float32)
+    bytes_total = 0
+    for lvl in mg.levels:
+        n = lvl.a.shape[0]
+        nnz = getattr(lvl.a.ell, "nnz", 7 * n)
+        spmv_bytes = 4 * nnz + 8 * n
+        # chebyshev degree-3 pre+post = 6 SpMVs + residual + 2 transfer
+        # SpMV-equivalents (lazy smoothed P/R each contain one fine SpMV)
+        bytes_total += 9 * spmv_bytes
+    sol = bytes_total / bw
+
+    print(
+        f"# vcycle={best*1e3:.3f}ms sol={sol*1e3:.3f}ms bw={bw/1e9:.0f}GB/s",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "vcycle_wall_time_3d_poisson_884k",
+                "value": round(best * 1e3, 4),
+                "unit": "ms",
+                "vs_baseline": round(sol / best, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
