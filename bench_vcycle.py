@@ -55,19 +55,21 @@ def main():
     x = jnp.ones(a.nrows, dtype=jnp.float32)
     reps = 200
 
+    # operator-specialized executable (multigrid closed over as a
+    # compile-time constant — see bench.py time_spmv)
     @jax.jit
-    def cycle_n(m, v):
+    def cycle_n(v):
         def body(u, _):
-            return m.mv(u), None
+            return mg.mv(u), None
 
         u, _ = jax.lax.scan(body, v, None, length=reps)
         return u
 
-    _sync(cycle_n(mg, x))
+    _sync(cycle_n(x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(cycle_n(mg, x))
+        _sync(cycle_n(x))
         best = min(best, (time.perf_counter() - t0) / reps)
 
     # speed-of-light estimate: every level contributes

@@ -64,6 +64,9 @@ def parse_args():
     p.add_argument("--mu", type=int, default=1)
     p.add_argument("--composite", type=int, default=None,
                    help="adaptive composite with N components")
+    p.add_argument("--structured", action="store_true",
+                   help="gather-free structured-grid multigrid (tensor-"
+                        "grid problems only; fastest TPU path)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--viz-out", type=str, default=None,
                    help="write hierarchy viz JSON here (reference dumps "
@@ -233,7 +236,22 @@ def main():
     )
     op = aslinearoperator(a)
 
-    if args.composite:
+    if args.structured:
+        from tpu_amg.structured import build_structured_multigrid
+
+        if args.problem in ("poisson2d", "aniso2d"):
+            grid = (args.n, args.n)
+        elif args.problem == "poisson3d":
+            grid = (args.n,) * 3
+        else:
+            raise SystemExit("--structured requires a tensor-grid problem")
+        t0 = time.time()
+        pc = build_structured_multigrid(
+            a, grid, coarsest_dim=args.coarsest_dim, dtype=jnp.float64
+        )
+        op_complexity = float("nan")
+        print(f"structured setup: {time.time() - t0:.1f}s", file=sys.stderr)
+    elif args.composite:
         cfg = AdaptiveConfig(
             hierarchy_config=hier_cfg,
             multigrid_config=mg_cfg,
