@@ -40,7 +40,7 @@ def main():
     from tpu_amg.utils.problems import poisson3d
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    n_grid = 96 if on_tpu else 24
+    n_grid = int(os.environ.get("TPU_AMG_VCYCLE_GRID", 96 if on_tpu else 24))
     t0 = time.time()
     a = poisson3d(n_grid)
     mg = build_structured_multigrid(
@@ -53,7 +53,7 @@ def main():
     )
 
     x = jnp.ones(a.nrows, dtype=jnp.float32)
-    reps = 200
+    reps = int(os.environ.get("TPU_AMG_VCYCLE_REPS", 200))
 
     # operator-specialized executable (multigrid closed over as a
     # compile-time constant — see bench.py time_spmv)

@@ -28,8 +28,8 @@ def main():
     p.add_argument("--tol", type=float, default=1e-8)
     args = p.parse_args()
 
-    from tests.test_geometric_mg import build_geometric_mg  # reuse builder
     from tpu_amg.preconditioners import build_smoother
+    from tpu_amg.utils.geometric import build_geometric_mg
 
     rows = []
     for refinements in range(args.min_refine, args.max_refine + 1):

@@ -107,7 +107,7 @@ class TestShardedSolve:
         assert abs(int(info_sh.iters) - int(info_ref.iters)) <= 1
 
     def test_sharded_multigrid_pcg(self, mesh):
-        from tests.test_geometric_mg import build_geometric_mg
+        from tpu_amg.utils.geometric import build_geometric_mg
 
         fine, mg = build_geometric_mg(refinements=5, coarse_elements=8)
         # fine has 8*2^5=256 elements -> 255 dofs; pad to 256

@@ -22,27 +22,7 @@ from tpu_amg.utils.problems import (
 from tpu_amg.utils.testing import symmetry_test
 
 
-def build_geometric_mg(refinements: int, coarse_elements: int = 4):
-    """Hierarchy of 1-D Poisson grids: n_elements doubles per level."""
-    n_elems = [coarse_elements * 2**k for k in range(refinements + 1)]
-    mats = [poisson1d(ne) for ne in n_elems]
-    levels = []
-    # finest first
-    for k in range(refinements, 0, -1):
-        a = aslinearoperator(mats[k])
-        n_coarse = n_elems[k - 1] - 1
-        p = SparseOperator.from_csr(
-            geometric_interpolation_1d(n_coarse), with_transpose=True
-        )
-        r = SparseOperator.from_csr(
-            geometric_restriction_1d(n_coarse), with_transpose=True
-        )
-        m = build_smoother("jacobi", a.ell, omega=0.66)
-        levels.append(Level(a=a, smoother=m, r=r, p=p))
-    coarse = DenseCholeskySolver.build(mats[0])
-    return mats[-1], Multigrid(
-        levels=tuple(levels), coarse_solver=coarse, mu=1, smoothing_steps=1
-    )
+from tpu_amg.utils.geometric import build_geometric_mg  # noqa: E402,F401
 
 
 class TestGeometricMG:
