@@ -33,6 +33,12 @@ def main():
     p.add_argument("--out", type=str, default="data/aggregation.json")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
+    # defaults expected by the shared problem loader (examples/amg.py)
+    for k, v in dict(
+        epsilon=1e-3, theta=np.pi / 6, coefficient="constant", block_size=1
+    ).items():
+        if not hasattr(args, k):
+            setattr(args, k, v)
 
     from examples.amg import load_problem
     from tpu_amg.adaptivity import smooth_vector

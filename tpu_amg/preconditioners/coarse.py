@@ -46,32 +46,35 @@ def _densify(a) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseCholeskySolver(LinearOperator):
-    """Exact solve with a prefactored dense Cholesky.
+    """Exact solve via a Cholesky-factored inverse, applied as a dense
+    matmul.
 
     Role of the reference's Sparse/DenseCholeskySolve
-    (coarse_solvers.rs:55-276).  Symmetric: rmv = mv.
+    (coarse_solvers.rs:55-276).  TPU note: triangular solves execute
+    (near-)sequentially on TPU and dominate the whole V-cycle (measured
+    ~100 ms for a 1.5k coarse grid); A⁻¹ is therefore materialized once
+    at build through the Cholesky factorization, making every
+    application a single MXU matmul (~µs).  Symmetric: rmv = mv.
     """
 
-    chol: jax.Array  # lower-triangular factor L with A = L Lᵀ
+    inv: jax.Array  # A⁻¹ = L⁻ᵀ L⁻¹, materialized at build
 
     @property
     def shape(self):
-        return self.chol.shape
+        return self.inv.shape
 
     @staticmethod
     def build(a) -> "DenseCholeskySolver":
         dense = _densify(a)
-        return DenseCholeskySolver(chol=jnp.linalg.cholesky(dense))
-
-    def _solve(self, b):
-        y = jax.scipy.linalg.solve_triangular(self.chol, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(self.chol.T, y, lower=False)
+        chol = jnp.linalg.cholesky(dense)
+        inv_l = jnp.linalg.inv(chol)
+        return DenseCholeskySolver(inv=inv_l.T @ inv_l)
 
     def mv(self, x):
-        return self._solve(x)
+        return self.inv @ x
 
     def mm(self, xs):
-        return self._solve(xs)
+        return self.inv @ xs
 
 
 @jax.tree_util.register_dataclass
@@ -110,7 +113,7 @@ def build_coarse_solver(kind: str, a, dtype=None) -> LinearOperator:
     if kind == "cholesky":
         s = DenseCholeskySolver.build(a)
         if dtype is not None:
-            s = DenseCholeskySolver(chol=s.chol.astype(dtype))
+            s = DenseCholeskySolver(inv=s.inv.astype(dtype))
         return s
     if kind in ("eigh", "pinv", "svd"):
         s = DensePinvSolver.build(a)
