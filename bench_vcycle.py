@@ -55,21 +55,39 @@ def main():
     x = jnp.ones(a.nrows, dtype=jnp.float32)
     reps = int(os.environ.get("TPU_AMG_VCYCLE_REPS", 200))
 
-    # operator-specialized executable (multigrid closed over as a
-    # compile-time constant — see bench.py time_spmv)
-    @jax.jit
-    def cycle_n(v):
-        def body(u, _):
-            return mg.mv(u), None
+    # operator-specialized executables (DESIGN.md §2) are faster but this
+    # session's remote compile service rejects large constant payloads;
+    # default to argument-passing, opt into baking with
+    # TPU_AMG_VCYCLE_SPECIALIZE=1.
+    if os.environ.get("TPU_AMG_VCYCLE_SPECIALIZE"):
 
-        u, _ = jax.lax.scan(body, v, None, length=reps)
-        return u
+        @jax.jit
+        def cycle_n(v):
+            def body(u, _):
+                return mg.mv(u), None
 
-    _sync(cycle_n(x))
+            u, _ = jax.lax.scan(body, v, None, length=reps)
+            return u
+
+        run = cycle_n
+    else:
+
+        @jax.jit
+        def cycle_n(m, v):
+            def body(u, _):
+                return m.mv(u), None
+
+            u, _ = jax.lax.scan(body, v, None, length=reps)
+            return u
+
+        def run(v):
+            return cycle_n(mg, v)
+
+    _sync(run(x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(cycle_n(x))
+        _sync(run(x))
         best = min(best, (time.perf_counter() - t0) / reps)
 
     # speed-of-light estimate: every level contributes

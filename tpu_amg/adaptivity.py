@@ -45,24 +45,30 @@ from tpu_amg.sparse import CSR
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
 def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
-    """iterations × (x ← QR(E x)) plus per-column convergence factors."""
+    """iterations × (x ← QR(E x)) plus per-column convergence factors.
 
+    The operators are closed over (operator-specialized executable —
+    see DESIGN.md §2: ~8x faster streaming than argument-passing on TPU).
+    """
     from tpu_amg.ops.qr import orthonormalize
 
-    def body(_, x):
-        ex = x - m.mm(a.mm(x))
-        return orthonormalize(ex)
+    @partial(jax.jit, static_argnames=("iterations",))
+    def run(x0, iterations):
+        def body(_, x):
+            ex = x - m.mm(a.mm(x))
+            return orthonormalize(ex)
 
-    x = orthonormalize(x0)
-    x = jax.lax.fori_loop(0, iterations, body, x)
-    ax = a.mm(x)
-    w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
-    ev = x - m.mm(ax)
-    aev = a.mm(ev)
-    ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
-    return x, ev_norms / w_norms
+        x = orthonormalize(x0)
+        x = jax.lax.fori_loop(0, iterations, body, x)
+        ax = a.mm(x)
+        w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
+        ev = x - m.mm(ax)
+        aev = a.mm(ev)
+        ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
+        return x, ev_norms / w_norms
+
+    return run(x0, iterations)
 
 
 def smooth_vector(
