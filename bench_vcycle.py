@@ -1,8 +1,8 @@
 """V-cycle wall-time benchmark (BASELINE.md: "V-cycle wall-time
 speed-of-light per-kernel").
 
-Builds the gather-free structured SA multigrid on a ~900k-dof 3-D
-Poisson problem (96³) and times one full V-cycle application on the
+Builds the gather-free structured SA multigrid on a 3-D Poisson problem
+(default 64³ = 262k dofs) and times one full V-cycle application on the
 device, plus its speed-of-light estimate from the sum of per-kernel
 minimum traffic at the measured stream rate.
 
@@ -40,7 +40,9 @@ def main():
     from tpu_amg.utils.problems import poisson3d
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    n_grid = int(os.environ.get("TPU_AMG_VCYCLE_GRID", 96 if on_tpu else 24))
+    # NOTE: 96^3 reproducibly faults this session's TPU runtime (worker
+    # crash during the fused cycle); 64^3 is stable. Override via env.
+    n_grid = int(os.environ.get("TPU_AMG_VCYCLE_GRID", 64 if on_tpu else 24))
     t0 = time.time()
     a = poisson3d(n_grid)
     mg = build_structured_multigrid(
@@ -96,7 +98,8 @@ def main():
     bytes_total = 0
     for lvl in mg.levels:
         n = lvl.a.shape[0]
-        nnz = getattr(lvl.a.ell, "nnz", 7 * n)
+        mat = getattr(lvl.a, "ell", None)
+        nnz = getattr(mat, "nnz", n * n if mat is None else 7 * n)
         spmv_bytes = 4 * nnz + 8 * n
         # chebyshev degree-3 pre+post = 6 SpMVs + residual + 2 transfer
         # SpMV-equivalents (lazy smoothed P/R each contain one fine SpMV)
@@ -110,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "vcycle_wall_time_3d_poisson_884k",
+                "metric": f"vcycle_wall_time_3d_poisson_{n_grid}cubed",
                 "value": round(best * 1e3, 4),
                 "unit": "ms",
                 "vs_baseline": round(sol / best, 4),

@@ -106,19 +106,24 @@ class SparseOperator(LinearOperator):
         dtype=jnp.float64,
         with_transpose: bool = False,
         prefer_dia: bool = True,
+        dia_max_diags: int = 32,
+        dia_max_density: float = 3.0,
     ):
         """Pick the fastest device format: DIA when the matrix is
         diagonal-structured and reasonably dense along its diagonals
         (structured-grid stencils — gather-free SpMV, ~60x faster than
-        the ELL gather path on TPU), ELL otherwise."""
+        the ELL gather path on TPU), ELL otherwise.  ``dia_max_diags`` /
+        ``dia_max_density`` widen the DIA envelope (Galerkin coarse
+        operators of structured grids reach ~125 diagonals and are still
+        far better off as slice-FMAs than as gathers)."""
         mat = None
         if prefer_dia and csr.is_square:
             from tpu_amg.sparse.dia import try_from_csr
 
-            dia = try_from_csr(csr, dtype=dtype, max_diags=32)
-            if dia is not None and len(dia.offsets) * csr.nrows <= 3 * max(
-                csr.nnz, 1
-            ):
+            dia = try_from_csr(csr, dtype=dtype, max_diags=dia_max_diags)
+            if dia is not None and len(
+                dia.offsets
+            ) * csr.nrows <= dia_max_density * max(csr.nnz, 1):
                 mat = dia
         if mat is None and csr.block_size > 1 and csr.is_square:
             # block-structured levels (SA coarse grids): block gathers

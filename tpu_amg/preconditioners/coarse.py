@@ -65,10 +65,13 @@ class DenseCholeskySolver(LinearOperator):
 
     @staticmethod
     def build(a) -> "DenseCholeskySolver":
-        dense = _densify(a)
-        chol = jnp.linalg.cholesky(dense)
-        inv_l = jnp.linalg.inv(chol)
-        return DenseCholeskySolver(inv=inv_l.T @ inv_l)
+        # factor/invert on the HOST: this is one-time setup work, and
+        # dense factorization ops hit fragile TPU compiler paths on some
+        # runtimes; only the final inverse ships to the device.
+        dense = np.asarray(_densify(a))
+        chol = np.linalg.cholesky(dense)
+        inv_l = np.linalg.inv(chol)
+        return DenseCholeskySolver(inv=jnp.asarray(inv_l.T @ inv_l))
 
     def mv(self, x):
         return self.inv @ x
@@ -95,11 +98,11 @@ class DensePinvSolver(LinearOperator):
 
     @staticmethod
     def build(a, rtol: float = 1e-12) -> "DensePinvSolver":
-        dense = _densify(a)
-        w, v = jnp.linalg.eigh(dense)
-        cutoff = rtol * jnp.max(jnp.abs(w))
-        inv_w = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
-        return DensePinvSolver(pinv=(v * inv_w) @ v.T)
+        dense = np.asarray(_densify(a))  # host-side (see DenseCholeskySolver)
+        w, v = np.linalg.eigh(dense)
+        cutoff = rtol * np.max(np.abs(w))
+        inv_w = np.where(np.abs(w) > cutoff, 1.0 / w, 0.0)
+        return DensePinvSolver(pinv=jnp.asarray((v * inv_w) @ v.T))
 
     def mv(self, x):
         return self.pinv @ x

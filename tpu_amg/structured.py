@@ -124,6 +124,11 @@ class SmoothedTransferP(LinearOperator):
 
     def mv(self, xc):
         px = self.tentative.mv(xc)
+        # barrier: without it XLA fuses the repeat-upsample INTO the
+        # DIA slice-FMA loop, degenerating to gather-like code
+        # (~15x slower, measured); materializing px keeps both passes
+        # stream-shaped
+        px = jax.lax.optimization_barrier(px)
         return px - self.d_inv * self.a.mv(px)
 
     def rmv(self, xf):
@@ -132,6 +137,7 @@ class SmoothedTransferP(LinearOperator):
 
     def mm(self, xs):
         px = self.tentative.mm(xs)
+        px = jax.lax.optimization_barrier(px)
         return px - self.d_inv[:, None] * self.a.mm(px)
 
     def rmm(self, xs):
@@ -181,7 +187,19 @@ def build_structured_multigrid(
         part, coarse_shape = structured_partition(cur_shape)
         sizes = part.expand_blocks(1).agg_sizes()
         weights_np = 1.0 / np.sqrt(sizes[part.node_to_agg].astype(np.float64))
-        a_op = SparseOperator.from_csr(cur, dtype=dtype)
+        if cur.nrows <= 4096:
+            # small mid levels: dense MXU matvec beats everything
+            from tpu_amg.linop import DenseOperator
+
+            a_op: LinearOperator = DenseOperator(
+                mat=jnp.asarray(cur.to_dense(), dtype=dtype)
+            )
+        else:
+            # Galerkin stencils widen to ~125 diagonals on coarse levels;
+            # keep them DIA (slice-FMAs), never ELL gathers
+            a_op = SparseOperator.from_csr(
+                cur, dtype=dtype, dia_max_diags=160, dia_max_density=8.0
+            )
         tent = StructuredInterp(
             weights=jnp.asarray(weights_np, dtype=dtype),
             fine_shape=cur_shape,
