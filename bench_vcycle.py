@@ -110,6 +110,7 @@ def main():
         f"# vcycle={best*1e3:.3f}ms sol={sol*1e3:.3f}ms bw={bw/1e9:.0f}GB/s",
         file=sys.stderr, flush=True,
     )
+    solve_bench(mg, a, jax, jnp)
     print(
         json.dumps(
             {
@@ -119,6 +120,34 @@ def main():
                 "vs_baseline": round(sol / best, 4),
             }
         )
+    )
+
+
+def solve_bench(mg, a, jax, jnp):
+    """Full AMG-PCG solve wall time (secondary metric, stderr)."""
+    from tpu_amg.linop import SparseOperator
+    from tpu_amg.solvers import cg
+
+    op = SparseOperator.from_csr(
+        a, dtype=jnp.float32, dia_max_diags=160, dia_max_density=8.0
+    )
+    b = jnp.ones(a.nrows, dtype=jnp.float32)
+
+    @jax.jit
+    def solve(b):
+        x, info = cg(op, b, mg, rtol=1e-6, maxiter=100)
+        return x, info.iters, info.final_res
+
+    x, iters, res = solve(b)
+    _sync(x)
+    t0 = time.perf_counter()
+    x, iters, res = solve(b)
+    _sync(x)
+    dt = time.perf_counter() - t0
+    print(
+        f"# full PCG solve: {dt*1e3:.1f}ms, {int(iters)} iters, "
+        f"res {float(res):.2e}",
+        file=sys.stderr, flush=True,
     )
 
 

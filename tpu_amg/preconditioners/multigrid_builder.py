@@ -111,8 +111,12 @@ class MultigridConfig:
                     mat=jnp.asarray(a.to_dense(), dtype=self.dtype)
                 )
             else:
+                # wide DIA envelope: Galerkin stencils reach ~125
+                # diagonals and are still far faster as slice-FMAs than
+                # as ELL gathers on TPU (see DESIGN.md §1)
                 a_op = SparseOperator.from_csr(
-                    a, dtype=self.dtype, prefer_dia=self.prefer_dia
+                    a, dtype=self.dtype, prefer_dia=self.prefer_dia,
+                    dia_max_diags=160, dia_max_density=8.0,
                 )
             smoother = self._build_smoother(a, nn, w, a_op)
             r_op = SparseOperator.from_csr(
