@@ -75,3 +75,26 @@ def test_adaptive_method():
     b = jnp.ones(a.nrows)
     x, info = s.solve(b, rtol=1e-8)
     assert bool(info.converged)
+
+
+def test_reorder_option_solves_scrambled_system():
+    from tests.test_reorder import scrambled_poisson
+
+    scrambled, _ = scrambled_poisson(12, seed=5)
+    cfg = SolverConfig(
+        reorder=True,
+        coarsening_near_null_dim=4,
+        interp_near_null_dim=1,
+        smoothing_iters=8,
+        coarsest_dim=40,
+        aggregation_iters=10,
+        coarsening_factor=8.0,
+    )
+    s = AMGSolver.setup(scrambled, cfg)
+    b = jnp.ones(scrambled.nrows)
+    x, info = s.solve(b, rtol=1e-10)
+    assert bool(info.converged)
+    # solution is in the ORIGINAL numbering
+    np.testing.assert_allclose(
+        scrambled.matvec(np.asarray(x)), np.ones(scrambled.nrows), atol=1e-7
+    )

@@ -49,23 +49,40 @@ class SolverConfig:
     mu: int = 1
     block_smoother_size: float = 128.0
     composite_components: int = 3  # for method="adaptive"
+    reorder: bool = False  # RCM renumbering (utils/reorder.py) before setup
     dtype: object = jnp.float64
     seed: int = 0
 
 
 class AMGSolver:
-    def __init__(self, a: CSR, preconditioner, hierarchy=None, config=None):
+    def __init__(self, a: CSR, preconditioner, hierarchy=None, config=None,
+                 perm=None):
         self.matrix = a
         self.op = aslinearoperator(a, dtype=getattr(config, "dtype", jnp.float64))
         self.preconditioner = preconditioner
         self.hierarchy = hierarchy
         self.config = config
         self._compiled = {}
+        # RCM permutation (solve operates in the reordered numbering;
+        # rhs/solution are translated transparently)
+        self.perm = None if perm is None else jnp.asarray(perm)
+        self.inv_perm = None
+        if perm is not None:
+            import numpy as _np
+
+            inv = _np.empty(len(perm), dtype=_np.int64)
+            inv[_np.asarray(perm)] = _np.arange(len(perm))
+            self.inv_perm = jnp.asarray(inv)
 
     # ------------------------------------------------------------------
     @staticmethod
     def setup(a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
         config = config or SolverConfig()
+        perm = None
+        if config.reorder:
+            from tpu_amg.utils.reorder import rcm_reorder
+
+            a, perm, _ = rcm_reorder(a)
         key = jax.random.PRNGKey(config.seed)
         interp = InterpolationConfig(
             kind="aggregation" if config.method in ("sa", "adaptive") else "classical",
@@ -100,7 +117,7 @@ class AMGSolver:
                 test_iters=config.smoothing_iters,
                 coarsening_near_null_dim=config.coarsening_near_null_dim,
             ).build(a, key)
-            return AMGSolver(a, pc, hierarchy=None, config=config)
+            return AMGSolver(a, pc, hierarchy=None, config=config, perm=perm)
 
         nn = find_near_null(
             a,
@@ -114,7 +131,7 @@ class AMGSolver:
         )
         hierarchy = hier_cfg.build(a, basis, create_weights(a, basis))
         mg = mg_cfg.build(hierarchy)
-        return AMGSolver(a, mg, hierarchy=hierarchy, config=config)
+        return AMGSolver(a, mg, hierarchy=hierarchy, config=config, perm=perm)
 
     # ------------------------------------------------------------------
     def compile(self, *, rtol: float = 1e-8, maxiter: int = 500,
@@ -145,10 +162,15 @@ class AMGSolver:
         """PCG (default) or stationary solve via the operator-specialized
         compiled executable (cached per (rtol, maxiter, method))."""
         b = jnp.asarray(b)
+        if self.perm is not None:
+            b = b[self.perm]
+            if x0 is not None:
+                x0 = jnp.asarray(x0)[self.perm]
         fn = self.compile(rtol=rtol, maxiter=maxiter, method=method)
-        if x0 is None:
-            return fn(b)
-        return fn(b, jnp.asarray(x0))
+        x, info = fn(b) if x0 is None else fn(b, jnp.asarray(x0))
+        if self.perm is not None:
+            x = x[self.inv_perm]
+        return x, info
 
     def apply_preconditioner(self, r):
         return self.preconditioner.mv(jnp.asarray(r))
