@@ -181,4 +181,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one retry: shared-tunnel TPU workers occasionally crash/restart
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(f"# first attempt failed ({e}); retrying once", file=sys.stderr)
+        time.sleep(30)
+        main()

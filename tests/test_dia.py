@@ -50,3 +50,33 @@ class TestDIA:
         dia = try_from_csr(a)
         x = np.array([1.0, 10.0, 100.0, 1000.0])
         np.testing.assert_allclose(np.asarray(dia.mv(x)), a.matvec(x))
+
+
+class TestDiaSmoothers:
+    def test_l2_formula_matches_ell(self):
+        from tpu_amg.preconditioners.smoothers import l2_inverse_diag
+        from tpu_amg.sparse import ELL
+
+        a = poisson2d(5)
+        ell = ELL.from_csr(a)
+        dia = try_from_csr(a)
+        np.testing.assert_allclose(
+            np.asarray(l2_inverse_diag(dia)),
+            np.asarray(l2_inverse_diag(ell)),
+            rtol=1e-12,
+        )
+
+    def test_l1_jacobi_on_dia(self):
+        from tpu_amg.preconditioners.smoothers import (
+            jacobi_inverse_diag,
+            l1_inverse_diag,
+        )
+
+        a = poisson3d(4)
+        dia = try_from_csr(a)
+        np.testing.assert_allclose(
+            np.asarray(l1_inverse_diag(dia)), 1.0 / a.abs_row_sums()
+        )
+        np.testing.assert_allclose(
+            np.asarray(jacobi_inverse_diag(dia, 0.5)), 0.5 / a.diagonal()
+        )
