@@ -57,20 +57,38 @@ def pad_ell_identity(ell: ELL, multiple: int) -> ELL:
     )
 
 
-def shard_ell(ell: ELL, mesh: Mesh, axis: str = "x") -> ELL:
-    """Row-shard data/cols over the mesh axis (P(axis, None))."""
+def _axis_size(mesh: Mesh, axis) -> int:
+    if isinstance(axis, (tuple, list)):
+        size = 1
+        for a in axis:
+            size *= mesh.shape[a]
+        return size
+    return mesh.shape[axis]
+
+
+def shard_ell(ell: ELL, mesh: Mesh, axis="x") -> ELL:
+    """Row-shard data/cols over the mesh axis (P(axis, None)).
+
+    ``axis`` may be a single mesh-axis name or a tuple of names — the
+    tuple form shards rows over the *product* of those axes (full-mesh
+    fine levels), while a sub-tuple shards over a sub-mesh and
+    replicates across the rest: the TPU analog of the reference's
+    coarse-grid redistribution as levels shrink (SURVEY.md §5
+    long-context row; BASELINE.json north star).
+    """
     if not hasattr(ell, "cols"):
         raise TypeError(
             "shard_ell requires the ELL format (build the operator with "
             "prefer_dia=False for the distributed path)"
         )
-    n_dev = mesh.shape[axis]
+    n_dev = _axis_size(mesh, axis)
     if ell.nrows % n_dev != 0:
         raise ValueError(
             f"nrows {ell.nrows} not divisible by {n_dev} devices; use "
             "pad_ell_identity first"
         )
-    sharding = NamedSharding(mesh, P(axis, None))
+    spec_axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
+    sharding = NamedSharding(mesh, P(spec_axis, None))
     return dataclasses.replace(
         ell,
         data=jax.device_put(ell.data, sharding),
@@ -90,7 +108,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_operator(
-    op: SparseOperator, mesh: Mesh, axis: str = "x"
+    op: SparseOperator, mesh: Mesh, axis="x"
 ) -> SparseOperator:
     """Row-shard a square sparse operator (and its transpose if present)."""
     ell = shard_ell(op.ell, mesh, axis)
@@ -190,6 +208,7 @@ def shard_ell_rect(op: SparseOperator, mesh: Mesh, axis: str = "x"):
     return SparseOperator(ell=ell, ell_t=ell_t)
 
 
-def shard_vector(x, mesh: Mesh, axis: str = "x"):
-    spec = P(axis) if x.ndim == 1 else P(axis, None)
+def shard_vector(x, mesh: Mesh, axis="x"):
+    spec_axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
+    spec = P(spec_axis) if x.ndim == 1 else P(spec_axis, None)
     return jax.device_put(x, NamedSharding(mesh, spec))
