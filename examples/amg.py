@@ -50,6 +50,10 @@ def parse_args():
                         "max=, cr_target=, relax= "
                         "(reference examples/amg/main.rs:502-547)")
     p.add_argument("--coarsening-factor", type=float, default=8.0)
+    p.add_argument("--sa-filter", type=float, default=None,
+                   help="filtered-SA P smoothing threshold theta "
+                        "(drops |a_ij| < theta*sqrt(a_ii*a_jj) during "
+                        "prolongation smoothing; good for high contrast)")
     p.add_argument("--aggregation-iters", type=int, default=200,
                    help="partitioner improvement iterations")
     p.add_argument("--max-iters", type=int, default=1000)
@@ -212,6 +216,7 @@ def main():
         kind="aggregation" if args.interpolation == "sa" else "classical",
         aggregation=AggregationConfig(
             candidate_dimension=args.interp_near_null_dim,
+            filter_theta=args.sa_filter,
             partitioner_config=PartitionerConfig(
                 coarsening_factor=args.coarsening_factor,
                 max_improvement_iters=args.aggregation_iters,

@@ -36,6 +36,29 @@ if not os.environ.get("TPU_AMG_NO_COMPILE_CACHE"):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from tpu_amg import errors, sparse  # noqa: E402
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid import cycles at package init)
+    if name in ("AMGSolver", "SolverConfig"):
+        from tpu_amg import solver
+
+        return getattr(solver, name)
+    if name == "Hierarchy":
+        from tpu_amg.hierarchy import Hierarchy
+
+        return Hierarchy
+    if name == "HierarchyConfig":
+        from tpu_amg.hierarchy import HierarchyConfig
+
+        return HierarchyConfig
+    if name == "AdaptiveConfig":
+        from tpu_amg.adaptivity import AdaptiveConfig
+
+        return AdaptiveConfig
+    raise AttributeError(f"module 'tpu_amg' has no attribute {name!r}")
+
+
 from tpu_amg.linop import (  # noqa: E402
     LinearOperator,
     SparseOperator,
@@ -50,6 +73,11 @@ __version__ = "0.1.0"
 __all__ = [
     "errors",
     "sparse",
+    "AMGSolver",
+    "SolverConfig",
+    "Hierarchy",
+    "HierarchyConfig",
+    "AdaptiveConfig",
     "LinearOperator",
     "SparseOperator",
     "DenseOperator",

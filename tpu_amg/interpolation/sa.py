@@ -55,6 +55,7 @@ class AggregationConfig:
 
     smoothing_steps: int = 1
     candidate_dimension: int = 4
+    filter_theta: Optional[float] = None  # filtered-SA P smoothing
     partitioner_config: PartitionerConfig = dataclasses.field(
         default_factory=PartitionerConfig
     )
@@ -83,6 +84,7 @@ class AggregationConfig:
             near_null,
             self.candidate_dimension,
             self.smoothing_steps,
+            filter_theta=self.filter_theta,
         )
 
 
@@ -92,6 +94,7 @@ def smoothed_aggregation(
     near_null: np.ndarray,
     candidate_dimension: int,
     smoothing_steps: int,
+    filter_theta: float = None,
 ) -> GalerkinCoarse:
     """Build tentative + smoothed P from a block-node partition."""
     n = a.nrows
@@ -143,7 +146,9 @@ def smoothed_aggregation(
     # ---- prolongation smoothing
     for _ in range(smoothing_steps):
         if bs == 1:
-            p = smooth_interpolation(a, p, JACOBI_WEIGHT)
+            p = smooth_interpolation(
+                a, p, JACOBI_WEIGHT, filter_theta=filter_theta
+            )
         else:
             p = block_jacobi_smooth(a, p)
 
@@ -160,9 +165,44 @@ def smoothed_aggregation(
     )
 
 
-def smooth_interpolation(a: CSR, p: CSR, weight: float = JACOBI_WEIGHT) -> CSR:
+def filter_matrix(a: CSR, theta: float) -> CSR:
+    """Strength-filtered A for prolongation smoothing: drop off-diagonal
+    entries with |aᵢⱼ| < θ·√(aᵢᵢ·aⱼⱼ) and lump them into the diagonal
+    (row sums preserved).
+
+    Not in the reference (whose plain-Jacobi P smoothing re-couples
+    across coefficient jumps); standard filtered-SA improvement for
+    high-contrast problems.
+    """
+    rows, cols, vals = a.coo()
+    diag = a.diagonal()
+    off = rows != cols
+    weak = off & (
+        np.abs(vals) < theta * np.sqrt(np.abs(diag[rows] * diag[cols]))
+    )
+    lump = np.zeros(a.nrows)
+    np.add.at(lump, rows[weak], vals[weak])
+    keep = ~weak
+    rows_k = np.concatenate([rows[keep], np.arange(a.nrows)])
+    cols_k = np.concatenate([cols[keep], np.arange(a.nrows)])
+    vals_k = np.concatenate([vals[keep], lump])
+    return CSR.from_coo(rows_k, cols_k, vals_k, a.shape, a.block_size)
+
+
+def smooth_interpolation(
+    a: CSR,
+    p: CSR,
+    weight: float = JACOBI_WEIGHT,
+    filter_theta: float = None,
+) -> CSR:
     """P ← P − ω·D⁻¹·(A·P), D = diag(A)
-    (reference smooth_interpolation, mod.rs:927-961)."""
+    (reference smooth_interpolation, mod.rs:927-961).
+
+    ``filter_theta`` smooths with the strength-filtered A instead
+    (see :func:`filter_matrix`) — better P for high-contrast coefficients.
+    """
+    if filter_theta is not None:
+        a = filter_matrix(a, filter_theta)
     diag = a.diagonal()
     if (diag <= 1e-6).any():
         raise ValueError("diagonal nearly zero in prolongation smoothing")
