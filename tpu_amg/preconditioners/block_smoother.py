@@ -105,11 +105,12 @@ class BlockSmoother(LinearOperator):
         idx = np.zeros((n_aggs, bmax), dtype=np.int32)
         mask = np.zeros((n_aggs, bmax))
         blocks = np.tile(np.eye(bmax), (n_aggs, 1, 1))
+        a_sp = a.to_scipy().tocsr()  # one conversion; C-speed slicing
         for k, dofs in enumerate(agg_lists):
             m = len(dofs)
             idx[k, :m] = dofs
             mask[k, :m] = 1.0
-            blk = a.extract(dofs, dofs)
+            blk = a_sp[dofs][:, dofs].toarray()
             if bs == 1:
                 blk[np.arange(m), np.arange(m)] += comp[dofs]
             else:
