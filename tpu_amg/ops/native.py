@@ -76,6 +76,12 @@ def _try_load():
     lib.bfs_reach_numeric.argtypes = [
         ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, _i64p, _i32p,
     ]
+    _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.strength_filter.restype = None
+    lib.strength_filter.argtypes = [
+        ctypes.c_int64, _i64p, _f64p, ctypes.c_double, ctypes.c_double,
+        _u8p, _f64p,
+    ]
     _LIB = lib
     return lib
 
@@ -160,3 +166,17 @@ def bfs_reach(indptr, indices, n, max_depth):
         n, indptr, indices, max_depth, out_indptr, out_indices
     )
     return out_indptr, out_indices
+
+
+def strength_filter(indptr, dist, theta, alpha):
+    """Per-row keep mask + contrast weights for the strength graph."""
+    lib = _try_load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    dist = np.ascontiguousarray(dist, np.float64)
+    keep = np.zeros(len(dist), dtype=np.uint8)
+    weight = np.zeros(len(dist), dtype=np.float64)
+    lib.strength_filter(
+        len(indptr) - 1, indptr, dist, float(theta), float(alpha), keep, weight
+    )
+    return keep.astype(bool), weight

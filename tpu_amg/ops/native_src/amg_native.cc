@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -213,6 +214,44 @@ void bfs_reach_numeric(
       frontier.swap(next_frontier);
     }
     std::sort(out_indices + out_indptr[c], out_indices + offset);
+  }
+}
+
+// ---------------------------------------------------------------------
+// Strength-graph per-row filter + contrast rescale
+// (reference partitioners/mod.rs:364-390): keep the smallest-distance
+// ⌊θ·len⌋ (≥1) entries of each row, then per-row contrast weights
+// w = ((d_max−d)/(d_max−d_min+1e-12))^α; all-equal rows get weight 1.
+// Replaces a global lexsort over all edges with tiny per-row sorts.
+// ---------------------------------------------------------------------
+void strength_filter(
+    int64_t n, const int64_t* indptr, const double* dist, double theta,
+    double alpha, uint8_t* keep, double* weight) {
+  std::vector<int64_t> order;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t lo = indptr[i], hi = indptr[i + 1];
+    int64_t len = hi - lo;
+    if (len == 0) continue;
+    int64_t kcount = (int64_t)(len * theta);
+    if (kcount < 1) kcount = 1;
+    order.resize(len);
+    for (int64_t t = 0; t < len; ++t) order[t] = lo + t;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return dist[a] < dist[b];
+    });
+    double d_min = dist[order[0]];
+    double d_max = dist[order[kcount - 1]];
+    bool flat = std::abs(d_max - d_min) < 1e-12;
+    for (int64_t t = 0; t < kcount; ++t) {
+      int64_t e = order[t];
+      keep[e] = 1;
+      if (flat) {
+        weight[e] = 1.0;
+      } else {
+        double u = (d_max - dist[e]) / (d_max - d_min + 1e-12);
+        weight[e] = std::pow(u, alpha);
+      }
+    }
   }
 }
 

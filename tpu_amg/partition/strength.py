@@ -147,8 +147,23 @@ def strength_graph(
         rho2 = dots * dots / (norms[rows[s:e]] * norms[cols[s:e]])
         dist[s:e] = 2.0 * np.sqrt(np.maximum(0.0, 1.0 - rho2))
 
-    # --- per-node filter + contrast rescale (vectorized over all rows) ---
+    # --- per-node filter + contrast rescale ---
     n = a.nrows
+    try:
+        from tpu_amg.ops import native
+
+        if native.available():
+            keep_mask, weights_all = native.strength_filter(
+                reach.indptr, dist, THETA, ALPHA
+            )
+            adj = sps.coo_matrix(
+                (weights_all[keep_mask], (rows[keep_mask], cols[keep_mask])),
+                shape=(n, n),
+            ).tocsr()
+            adj.sum_duplicates()
+            return Graph(adj=adj)
+    except Exception:
+        pass
     row_counts = np.diff(reach.indptr)
     # sort edges within each row by distance ascending
     order = np.lexsort((dist, rows))
