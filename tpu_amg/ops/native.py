@@ -82,6 +82,11 @@ def _try_load():
         ctypes.c_int64, _i64p, _f64p, ctypes.c_double, ctypes.c_double,
         _u8p, _f64p,
     ]
+    lib.best_moves.restype = ctypes.c_int64
+    lib.best_moves.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, _f64p, _i64p, _i64p, _i64p,
+        ctypes.c_double, ctypes.c_double, _i64p, _i64p, _f64p,
+    ]
     _LIB = lib
     return lib
 
@@ -180,3 +185,25 @@ def strength_filter(indptr, dist, theta, alpha):
         len(indptr) - 1, indptr, dist, float(theta), float(alpha), keep, weight
     )
     return keep.astype(bool), weight
+
+
+def best_moves(indptr, indices, weights, node_to_agg, agg_sizes,
+               node_weights, cf, agg_pen):
+    """Best positive-gain move per node (one O(E) pass)."""
+    lib = _try_load()
+    assert lib is not None
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    weights = np.ascontiguousarray(weights, np.float64)
+    node_to_agg = np.ascontiguousarray(node_to_agg, np.int64)
+    agg_sizes = np.ascontiguousarray(agg_sizes, np.int64)
+    node_weights = np.ascontiguousarray(node_weights, np.int64)
+    out_nodes = np.zeros(n, dtype=np.int64)
+    out_dest = np.zeros(n, dtype=np.int64)
+    out_dq = np.zeros(n, dtype=np.float64)
+    count = lib.best_moves(
+        n, indptr, indices, weights, node_to_agg, agg_sizes, node_weights,
+        float(cf), float(agg_pen), out_nodes, out_dest, out_dq,
+    )
+    return out_nodes[:count], out_dest[:count], out_dq[:count]

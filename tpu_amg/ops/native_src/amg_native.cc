@@ -255,4 +255,80 @@ void strength_filter(
   }
 }
 
+// ---------------------------------------------------------------------
+// Best positive-Δq move per node (reference delta_q + swap generation,
+// modularity.rs:391-467): for each node, accumulate connection strength
+// per neighboring aggregate, score moves with the size-cost term, and
+// emit the best strictly-positive move.  O(E) with a small per-node
+// scratch; replaces a scipy matrix build + 15M-entry sort per pass.
+// ---------------------------------------------------------------------
+static inline double size_cost(double s, double cf, double pen) {
+  double rel = std::abs(s - cf) / cf;
+  double r4 = 4.0 * rel;
+  r4 = r4 * r4 * r4 * r4;
+  return r4 * pen;
+}
+
+int64_t best_moves(
+    int64_t n, const int64_t* indptr, const int32_t* indices,
+    const double* weights, const int64_t* node_to_agg,
+    const int64_t* agg_sizes, const int64_t* node_weights, double cf,
+    double agg_pen, int64_t* out_nodes, int64_t* out_dest,
+    double* out_dq) {
+  std::vector<int64_t> cand_aggs;
+  std::vector<double> cand_sums;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t src = node_to_agg[i];
+    if (agg_sizes[src] == node_weights[i]) continue;  // singleton source
+    cand_aggs.clear();
+    cand_sums.clear();
+    double in_degree = 0.0;
+    for (int64_t jj = indptr[i]; jj < indptr[i + 1]; ++jj) {
+      int64_t agg_j = node_to_agg[indices[jj]];
+      double w = weights[jj];
+      if (agg_j == src) {
+        in_degree += w;
+        continue;
+      }
+      bool found = false;
+      for (size_t t = 0; t < cand_aggs.size(); ++t) {
+        if (cand_aggs[t] == agg_j) {
+          cand_sums[t] += w;
+          found = true;
+          break;
+        }
+      }
+      if (!found) {
+        cand_aggs.push_back(agg_j);
+        cand_sums.push_back(w);
+      }
+    }
+    double wi = (double)node_weights[i];
+    double old_src_cost = size_cost((double)agg_sizes[src], cf, agg_pen);
+    double new_src_cost = size_cost((double)agg_sizes[src] - wi, cf, agg_pen);
+    double best_dq = 0.0;
+    int64_t best_agg = -1;
+    for (size_t t = 0; t < cand_aggs.size(); ++t) {
+      int64_t dst = cand_aggs[t];
+      double old_cost =
+          old_src_cost + size_cost((double)agg_sizes[dst], cf, agg_pen);
+      double new_cost =
+          new_src_cost + size_cost((double)agg_sizes[dst] + wi, cf, agg_pen);
+      double dq = (cand_sums[t] - in_degree) + agg_pen * (old_cost - new_cost);
+      if (dq > best_dq) {
+        best_dq = dq;
+        best_agg = dst;
+      }
+    }
+    if (best_agg >= 0 && best_dq > 0.0) {
+      out_nodes[count] = i;
+      out_dest[count] = best_agg;
+      out_dq[count] = best_dq;
+      ++count;
+    }
+  }
+  return count;
+}
+
 }  // extern "C"

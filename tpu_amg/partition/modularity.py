@@ -270,7 +270,21 @@ class ModularityPartitioner:
         return (4.0 * rel) ** 4 * self.config.agg_size_penalty
 
     def _best_moves(self):
-        """Vectorized best positive-Δq move per node (modularity.rs:391-467)."""
+        """Best positive-Δq move per node (modularity.rs:391-467):
+        native O(E) pass when available, vectorized numpy otherwise."""
+        try:
+            from tpu_amg.ops import native
+
+            if native.available():
+                adj = self.base_graph.adj
+                return native.best_moves(
+                    adj.indptr, adj.indices, adj.data,
+                    self.partition.node_to_agg, self.agg_sizes,
+                    self.node_weights, self.config.coarsening_factor,
+                    self.config.agg_size_penalty,
+                )
+        except Exception:
+            pass
         p = self.partition
         n, naggs = p.num_nodes, p.num_aggs
         rows, cols, w = self.base_graph.edges()
