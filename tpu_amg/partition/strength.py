@@ -118,6 +118,45 @@ def _pattern_power(a: CSR, max_depth: int) -> sps.csr_matrix:
     return reach.tocsr()
 
 
+def _effective_depth(
+    a: CSR, max_depth: int, reach_budget: int = 800, samples: int = 32
+) -> int:
+    """Largest depth ≤ max_depth whose median BFS neighborhood stays
+    below ``reach_budget`` nodes.
+
+    The reference always uses depth 3 (mod.rs:290), which is fine for
+    fine-grid stencils (unique depth-3 reach ~60-120) but explodes on
+    Galerkin coarse operators (~230 nnz/row → tens of thousands of
+    depth-3 neighbors) at scale; the reference was never run at sizes
+    where this bites.  Estimated on a node sample — behavior is
+    unchanged whenever the budget is not exceeded.
+    """
+    if max_depth <= 1 or a.nrows <= reach_budget:
+        return max_depth
+    sp = a.to_scipy().tocsr()
+    rng = np.random.default_rng(0)
+    nodes = rng.choice(a.nrows, size=min(samples, a.nrows), replace=False)
+    depth = 1
+    frontier_sets = [set([int(v)]) for v in nodes]
+    visited = [set([int(v)]) for v in nodes]
+    for d in range(1, max_depth + 1):
+        sizes = []
+        for t in range(len(nodes)):
+            new = set()
+            for u in frontier_sets[t]:
+                new.update(sp.indices[sp.indptr[u] : sp.indptr[u + 1]].tolist())
+            new -= visited[t]
+            visited[t].update(new)
+            frontier_sets[t] = new
+            sizes.append(len(visited[t]))
+        if np.median(sizes) > reach_budget and d > 1:
+            return d - 1
+        depth = d
+        if np.median(sizes) > reach_budget:
+            return d
+    return depth
+
+
 def strength_graph(
     a: CSR,
     near_null: np.ndarray,
@@ -131,6 +170,7 @@ def strength_graph(
         near_null = near_null[:, None]
     w = np.asarray(nn_weights, dtype=np.float64)[: near_null.shape[1]]
 
+    max_depth = _effective_depth(a, max_depth)
     reach = _pattern_power(a, max_depth)
     rows = np.repeat(
         np.arange(reach.shape[0], dtype=np.int64), np.diff(reach.indptr)

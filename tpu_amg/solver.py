@@ -37,6 +37,11 @@ class SolverConfig:
     (examples/amg/main.rs:32-121)."""
 
     method: str = "sa"  # "sa" | "classical" | "adaptive"
+    # NOTE: the effective aggregation size is coarsening_factor *
+    # interp_near_null_dim / block_size (reference mod.rs:135-137).
+    # Keep it >= ~25 for 3-D scalar problems — too-small aggregates with
+    # smoothed P densify the Galerkin coarse operators (high op
+    # complexity).
     coarsening_near_null_dim: int = 16
     interp_near_null_dim: int = 4  # SA candidate dimension
     smoothing_iters: int = 20
