@@ -195,3 +195,33 @@ class TestMultilevelPartitioner:
         composed = base.compose(coarse)
         composed.validate()
         assert composed.num_aggs < base.num_aggs
+
+
+class TestSplitDisconnected:
+    def test_all_aggregates_connected_after_build(self):
+        from scipy.sparse.csgraph import connected_components
+        import scipy.sparse as sps
+
+        a = poisson2d(16)
+        nn = np.random.default_rng(3).normal(size=(256, 4))
+        cfg = PartitionerConfig(coarsening_factor=8.0, max_improvement_iters=30)
+        partitioner = cfg.build(a, nn, np.ones(4))
+        part = partitioner.partition
+        rows, cols, _ = partitioner.base_graph.edges()
+        agg = part.node_to_agg
+        intra = agg[rows] == agg[cols]
+        sub = sps.coo_matrix(
+            (np.ones(int(intra.sum())), (rows[intra], cols[intra])),
+            shape=(256, 256),
+        )
+        n_comp, _ = connected_components(sub, directed=False)
+        assert n_comp == part.num_aggs  # every aggregate is one component
+
+    def test_split_can_be_disabled(self):
+        a = poisson2d(12)
+        nn = np.ones((144, 1))
+        cfg = PartitionerConfig(
+            coarsening_factor=8.0, split_disconnected=False
+        )
+        part = cfg.build_partition(a, nn, np.ones(1))
+        part.validate()  # reference behavior preserved behind the flag

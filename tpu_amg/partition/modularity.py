@@ -55,6 +55,11 @@ class PartitionerConfig:
     agg_size_penalty: float = 1.0
     max_improvement_iters: int = 100
     max_depth: int = 3  # strength-graph BFS depth (mod.rs:290)
+    # split disconnected aggregates after improvement (the reference
+    # knowingly leaves them — modularity.rs:440 "This can break
+    # aggregates into disconnected components... not great"; scattered
+    # aggregates widen P and densify the Galerkin coarse operators)
+    split_disconnected: bool = True
     callback: Optional[Callable[[int, "ModularityPartitioner"], None]] = None
 
     def build(
@@ -390,6 +395,78 @@ class ModularityPartitioner:
                 self.config.callback(it, self)
             logger.debug("improvement pass %d: %d swaps", it, swaps)
         self.partition = Partition(node_to_agg)
+        if self.config.split_disconnected:
+            self.partition = self._split_disconnected(self.partition)
+            self.agg_sizes = np.bincount(
+                self.partition.node_to_agg, weights=self.node_weights,
+                minlength=self.partition.num_aggs,
+            ).astype(np.int64)
+
+    def _split_disconnected(self, partition: Partition) -> Partition:
+        """Repair disconnected aggregates with guaranteed connectivity:
+
+        1. split every aggregate into its connected components over the
+           intra-aggregate strength subgraph (each component is
+           connected by construction);
+        2. merge undersized components into the neighboring component
+           they connect to most strongly, via union-find over real graph
+           edges (a union of two connected components joined along an
+           existing edge stays connected — so the invariant holds).
+        """
+        from scipy.sparse.csgraph import connected_components
+
+        rows, cols, w = self.base_graph.edges()
+        agg = partition.node_to_agg
+        intra = agg[rows] == agg[cols]
+        n = partition.num_nodes
+        sub = sps.coo_matrix(
+            (np.ones(int(intra.sum())), (rows[intra], cols[intra])),
+            shape=(n, n),
+        )
+        n_comp, labels = connected_components(sub, directed=False)
+        if n_comp == partition.num_aggs:
+            return partition
+        logger.debug(
+            "splitting %d disconnected aggregate components",
+            n_comp - partition.num_aggs,
+        )
+
+        comp_sizes = np.bincount(labels, minlength=n_comp)
+        min_size = max(2, int(np.ceil(self.config.coarsening_factor / 2.0)))
+        small = comp_sizes < min_size
+        if not small.any():
+            return Partition(labels)
+
+        # strongest-connected neighboring component per small component
+        lr, lc = labels[rows], labels[cols]
+        mask = small[lr] & (lr != lc)
+        key = lr[mask].astype(np.int64) * n_comp + lc[mask]
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.bincount(inv, weights=w[mask])
+        src_c = uniq // n_comp
+        dst_c = uniq % n_comp
+        order = np.lexsort((-acc, src_c))
+        first = np.ones(len(order), dtype=bool)
+        so = src_c[order]
+        first[1:] = so[1:] != so[:-1]
+        merge_src = so[first]
+        merge_dst = dst_c[order][first]
+
+        # union-find along the chosen (existing-edge) merges
+        parent = np.arange(n_comp)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(merge_src, merge_dst):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[rs] = rd
+        roots = np.array([find(int(c)) for c in range(n_comp)])
+        return Partition(roots[labels])
 
     # ------------------------------------------------------------------
     # metrics (modularity.rs:236-287)
