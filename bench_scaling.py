@@ -68,7 +68,7 @@ def main(rows_per_device: int = 65_536, reps: int = 30):
         @jax.jit
         def spmv_n(h_, v):
             def body(u, _):
-                return halo_spmv(h_, mesh, u), None
+                return halo_spmv(h_, u), None
 
             u, _ = jax.lax.scan(body, v, None, length=reps)
             return u

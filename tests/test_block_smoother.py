@@ -33,7 +33,7 @@ class TestBlockSmoother:
         p = interval_partition(8, 4)
         bs = BlockSmoother.build(a, p)
         h2 = (1.0 / 9) ** 2
-        blk = np.asarray(bs.inv_blocks[0])
+        blk = np.asarray(bs.buckets[0].inv_blocks[0])
         expected = a.extract(range(4), range(4))
         expected[3, 3] += 0.5 * 1.0 / h2  # sqrt(d/d)=1, |a_ij| = 1/h^2
         np.testing.assert_allclose(

@@ -40,3 +40,33 @@ def test_roundtrip_and_resume(tmp_path):
     b = jnp.ones(a.nrows)
     _, info = cg(op, b, mg, rtol=1e-8)
     assert bool(info.converged)
+
+
+def test_adaptive_composite_roundtrip(tmp_path):
+    """The adaptive composite's per-component hierarchies round-trip and
+    the reloaded solver applies the same preconditioner (VERDICT round 1,
+    item 6; solver.py previously raised here)."""
+    from tpu_amg.solver import AMGSolver, SolverConfig
+
+    a = poisson2d(12)
+    cfg = SolverConfig(
+        method="adaptive",
+        composite_components=2,
+        coarsening_near_null_dim=4,
+        smoothing_iters=5,
+        coarsest_dim=20,
+        smoother="chebyshev",
+    )
+    solver = AMGSolver.setup(a, cfg)
+    assert len(solver.component_hierarchies) == 2
+    solver.save(tmp_path / "comp.npz")
+
+    solver2 = AMGSolver.load(tmp_path / "comp.npz", a, cfg)
+    assert len(solver2.preconditioner.components) == 2
+    r = np.random.default_rng(3).normal(size=a.nrows)
+    z1 = np.asarray(solver.apply_preconditioner(r))
+    z2 = np.asarray(solver2.apply_preconditioner(r))
+    np.testing.assert_allclose(z2, z1, rtol=1e-12, atol=1e-14)
+
+    x, info = solver2.solve(jnp.ones(a.nrows), rtol=1e-8)
+    assert bool(info.converged)

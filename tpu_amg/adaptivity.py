@@ -45,12 +45,28 @@ from tpu_amg.sparse import CSR
 logger = logging.getLogger(__name__)
 
 
-def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
-    """iterations × (x ← QR(E x)) plus per-column convergence factors.
+from collections import OrderedDict
 
-    The operators are closed over (operator-specialized executable —
-    see DESIGN.md §2: ~8x faster streaming than argument-passing on TPU).
-    """
+# Compiled-closure cache.  Operators are closed over the jit boundary
+# (operator-specialized executables — DESIGN.md §2: ~8x faster streaming
+# than argument-passing on TPU), so the compiled function must be cached
+# per *operator identity*; the closure itself keeps the operator alive,
+# which guarantees ids in live keys are never reused.
+_jit_cache: "OrderedDict[tuple, object]" = OrderedDict()
+_JIT_CACHE_MAX = 128
+
+
+def _cached(key, make):
+    fn = _jit_cache.pop(key, None)
+    if fn is None:
+        fn = make()
+    _jit_cache[key] = fn
+    while len(_jit_cache) > _JIT_CACHE_MAX:
+        _jit_cache.popitem(last=False)
+    return fn
+
+
+def _make_run(a: LinearOperator, m: LinearOperator):
     from tpu_amg.ops.qr import orthonormalize
 
     @partial(jax.jit, static_argnames=("iterations",))
@@ -68,6 +84,65 @@ def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
         ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
         return x, ev_norms / w_norms
 
+    return run
+
+
+def _make_estep(a: LinearOperator, c: LinearOperator):
+    @jax.jit
+    def step(x):
+        return x - c.mm(a.mm(x))
+
+    return step
+
+
+def _smooth_loop_composite(a, m, x0, iterations: int):
+    """Product-form smoothing for a multi-component Composite.
+
+    The composite's error propagator factors into its components'
+    (E_comp = ∏ (I − MᵢA) in sweep order — the defining property of the
+    multiplicative sweep, composite.rs:66-83), so each component's step
+    is compiled ONCE and reused across every later bootstrap round: the
+    5-component bootstrap compiles N per-component sweeps instead of
+    re-tracing sweeps of growing size 1..N inside one program
+    (quadratic → linear compile work; VERDICT round 1, item 10).
+    """
+    from tpu_amg.ops.qr import orthonormalize
+
+    order = list(reversed(m.components)) + list(m.components[1:])
+    steps = [
+        _cached(("estep", id(a), id(c)), partial(_make_estep, a, c))
+        for c in order
+    ]
+    ortho = _cached(("ortho",), lambda: jax.jit(orthonormalize))
+    amm = _cached(("amm", id(a)), lambda: jax.jit(a.mm))
+
+    def eprop(x):
+        for s in steps:
+            x = s(x)
+        return x
+
+    x = ortho(x0)
+    for _ in range(iterations):
+        x = ortho(eprop(x))
+    ax = amm(x)
+    w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
+    ev = eprop(x)
+    aev = amm(ev)
+    ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
+    return x, ev_norms / w_norms
+
+
+def _smooth_loop(a: LinearOperator, m: LinearOperator, x0, iterations: int):
+    """iterations × (x ← QR(E x)) plus per-column convergence factors.
+
+    Compiled closures are cached per operator identity (re-jit hygiene);
+    multi-component composites take the product-form path.
+    """
+    from tpu_amg.preconditioners.composite import Composite
+
+    if isinstance(m, Composite) and len(m.components) > 1:
+        return _smooth_loop_composite(a, m, x0, iterations)
+    run = _cached(("loop", id(a), id(m)), partial(_make_run, a, m))
     return run(x0, iterations)
 
 
@@ -137,8 +212,12 @@ class AdaptiveConfig:
     coarsening_near_null_dim: int = 32
     include_constant_first_near_null: bool = True
 
-    def build(self, a: CSR, key=None) -> Composite:
-        """Reference AdaptiveConfig::build (adaptivity.rs:50-165)."""
+    def build(self, a: CSR, key=None, return_hierarchies: bool = False):
+        """Reference AdaptiveConfig::build (adaptivity.rs:50-165).
+
+        With ``return_hierarchies`` also returns the per-component
+        hierarchies (the serializable setup artifact — see
+        utils/checkpoint.py save_composite_hierarchies)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k_nn, k_loop = jax.random.split(key)
         dim = self.coarsening_near_null_dim
@@ -161,6 +240,7 @@ class AdaptiveConfig:
         logger.info("hierarchy 1:\n%r", hierarchy)
         first = self.multigrid_config.build(hierarchy)
         composite = Composite(a=aslinearoperator(a), components=(first,))
+        hierarchies = [hierarchy]
 
         for n_components in range(1, self.max_components):
             k_loop, k_iter = jax.random.split(k_loop)
@@ -179,4 +259,7 @@ class AdaptiveConfig:
             logger.info("hierarchy %d:\n%r", n_components + 1, hierarchy)
             component = self.multigrid_config.build(hierarchy)
             composite = composite.push(component)
+            hierarchies.append(hierarchy)
+        if return_hierarchies:
+            return composite, hierarchies
         return composite

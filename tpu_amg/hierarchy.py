@@ -127,8 +127,16 @@ class Hierarchy:
             galerkin.restriction,
             galerkin.coarse_mat,
         )
-        assert p.nrows == r.ncols == self.matrices[-1].nrows
-        assert p.ncols == r.nrows == coarse.nrows
+        fine_n = self.matrices[-1].nrows
+        if not (p.nrows == r.ncols == fine_n) or not (
+            p.ncols == r.nrows == coarse.nrows
+        ):
+            from tpu_amg.errors import HierarchyError
+
+            raise HierarchyError(
+                f"level dimension mismatch: fine n={fine_n}, "
+                f"P {p.shape}, R {r.shape}, coarse n={coarse.nrows}"
+            )
         self.matrices.append(coarse)
         self.interpolations.append(p)
         self.restrictions.append(r)

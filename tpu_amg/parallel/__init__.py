@@ -16,8 +16,9 @@ from tpu_amg.parallel.dist import (
     shard_operator,
     shard_multigrid,
     replicate,
+    try_shard_halo,
 )
-from tpu_amg.parallel.halo import HaloELL, halo_spmv
+from tpu_amg.parallel.halo import HaloDIA, HaloELL, halo_spmv
 
 __all__ = [
     "make_solver_mesh",
@@ -26,6 +27,8 @@ __all__ = [
     "shard_operator",
     "shard_multigrid",
     "replicate",
+    "try_shard_halo",
+    "HaloDIA",
     "HaloELL",
     "halo_spmv",
 ]

@@ -21,8 +21,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_amg.linop import SparseOperator
+from tpu_amg.parallel.halo import HaloDIA, HaloELL
 from tpu_amg.preconditioners.block_smoother import BlockSmoother
 from tpu_amg.preconditioners.multigrid import Level, Multigrid
+from tpu_amg.sparse.dia import DIA
 from tpu_amg.sparse.ell import ELL
 
 
@@ -107,45 +109,88 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+def try_shard_halo(mat, mesh: Mesh, axis="x"):
+    """Halo-sharded version of an ELL/DIA matrix, or None when the band
+    assumption (or divisibility) fails — callers fall back to the
+    all-gather path.  This is what makes ppermute halo exchange the
+    *production* distributed SpMV (BASELINE.json north star) rather
+    than a standalone benchmark."""
+    if isinstance(axis, (tuple, list)):
+        if len(axis) != 1:
+            return None
+        axis = axis[0]
+    try:
+        if isinstance(mat, DIA):
+            return HaloDIA.from_dia(mat, mesh, axis)
+        if isinstance(mat, ELL):
+            return HaloELL.from_ell(mat, mesh, axis)
+    except ValueError:
+        return None
+    return None
+
+
 def shard_operator(
-    op: SparseOperator, mesh: Mesh, axis="x"
+    op: SparseOperator, mesh: Mesh, axis="x", use_halo: bool = True
 ) -> SparseOperator:
-    """Row-shard a square sparse operator (and its transpose if present)."""
-    ell = shard_ell(op.ell, mesh, axis)
-    ell_t = shard_ell(op.ell_t, mesh, axis) if op.ell_t is not None else None
+    """Row-shard a square sparse operator (and its transpose if present).
+
+    Banded ELL/DIA matrices get the ppermute halo-exchange form
+    (parallel/halo.py); others fall back to the row-sharded all-gather
+    gather path."""
+    ell = None
+    if use_halo:
+        ell = try_shard_halo(op.ell, mesh, axis)
+    if ell is None:
+        ell = shard_ell(op.ell, mesh, axis)
+    ell_t = None
+    if op.ell_t is not None:
+        if use_halo:
+            ell_t = try_shard_halo(op.ell_t, mesh, axis)
+        if ell_t is None:
+            ell_t = shard_ell(op.ell_t, mesh, axis)
     return SparseOperator(ell=ell, ell_t=ell_t)
 
 
-def _shard_block_smoother(
-    bs: BlockSmoother, mesh: Mesh, axis: str
-) -> BlockSmoother:
-    """Shard the per-aggregate batch dimension of a BlockSmoother."""
+def _shard_block_bucket(b, mesh: Mesh, axis: str):
+    """Shard one BlockBucket's per-aggregate batch dimension."""
     n_dev = mesh.shape[axis]
-    n_aggs = bs.inv_blocks.shape[0]
+    n_aggs = b.inv_blocks.shape[0]
     if n_aggs % n_dev != 0:
         # pad with identity blocks acting on dof 0 with zero mask
         pad = ((n_aggs + n_dev - 1) // n_dev) * n_dev - n_aggs
         eye = jnp.broadcast_to(
-            jnp.eye(bs.inv_blocks.shape[1], dtype=bs.inv_blocks.dtype),
-            (pad,) + bs.inv_blocks.shape[1:],
+            jnp.eye(b.inv_blocks.shape[1], dtype=b.inv_blocks.dtype),
+            (pad,) + b.inv_blocks.shape[1:],
         )
-        bs = dataclasses.replace(
-            bs,
-            inv_blocks=jnp.concatenate([bs.inv_blocks, eye]),
+        b = dataclasses.replace(
+            b,
+            inv_blocks=jnp.concatenate([b.inv_blocks, eye]),
             idx=jnp.concatenate(
-                [bs.idx, jnp.zeros((pad,) + bs.idx.shape[1:], bs.idx.dtype)]
+                [b.idx, jnp.zeros((pad,) + b.idx.shape[1:], b.idx.dtype)]
             ),
             mask=jnp.concatenate(
-                [bs.mask, jnp.zeros((pad,) + bs.mask.shape[1:], bs.mask.dtype)]
+                [b.mask, jnp.zeros((pad,) + b.mask.shape[1:], b.mask.dtype)]
             ),
         )
     s3 = NamedSharding(mesh, P(axis, None, None))
     s2 = NamedSharding(mesh, P(axis, None))
     return dataclasses.replace(
+        b,
+        inv_blocks=jax.device_put(b.inv_blocks, s3),
+        idx=jax.device_put(b.idx, s2),
+        mask=jax.device_put(b.mask, s2),
+    )
+
+
+def _shard_block_smoother(
+    bs: BlockSmoother, mesh: Mesh, axis: str
+) -> BlockSmoother:
+    """Shard every bucket's per-aggregate batch dimension."""
+    return dataclasses.replace(
         bs,
-        inv_blocks=jax.device_put(bs.inv_blocks, s3),
-        idx=jax.device_put(bs.idx, s2),
-        mask=jax.device_put(bs.mask, s2),
+        buckets=tuple(
+            _shard_block_bucket(b, mesh, axis) for b in bs.buckets
+        ),
     )
 
 
@@ -154,6 +199,7 @@ def shard_multigrid(
     mesh: Mesh,
     axis: str = "x",
     replicate_below: int = 4096,
+    use_halo: bool = True,
 ) -> Multigrid:
     """Shard fine levels over the mesh; replicate small coarse levels.
 
@@ -161,49 +207,66 @@ def shard_multigrid(
     and at least ``replicate_below``; everything else (including the
     coarse solver) is replicated — the multi-device analog of the
     reference's coarse-grid handling (multigrid.rs:152-159).
+
+    With ``use_halo`` (default), banded level operators and grid
+    transfers become ppermute halo-exchange forms (HaloDIA/HaloELL) —
+    only the halo slab crosses ICI per SpMV instead of a full
+    all-gather of the vector.
     """
     n_dev = mesh.shape[axis]
     new_levels = []
     for level in mg.levels:
         n = level.a.shape[0]
+        a = None
         if (
             isinstance(level.a, SparseOperator)
             and n >= replicate_below
             and n % n_dev == 0
         ):
-            a = shard_operator(level.a, mesh, axis)
-            smoother = (
-                _shard_block_smoother(level.smoother, mesh, axis)
-                if isinstance(level.smoother, BlockSmoother)
-                else replicate(level.smoother, mesh)
-            )
-            r = (
-                shard_ell_rect(level.r, mesh, axis)
-                if level.r is not None
-                else None
-            )
-            p = (
-                shard_ell_rect(level.p, mesh, axis)
-                if level.p is not None
-                else None
-            )
-            new_levels.append(Level(a=a, smoother=smoother, r=r, p=p))
-        else:
+            h = try_shard_halo(level.a.ell, mesh, axis) if use_halo else None
+            if h is not None:
+                a = SparseOperator(ell=h)
+            elif isinstance(level.a.ell, ELL):
+                a = SparseOperator(ell=shard_ell(level.a.ell, mesh, axis))
+            # non-banded DIA/BSR levels: fall through to replication
+        if a is None:
             new_levels.append(replicate(level, mesh))
+            continue
+        smoother = (
+            _shard_block_smoother(level.smoother, mesh, axis)
+            if isinstance(level.smoother, BlockSmoother)
+            else replicate(level.smoother, mesh)
+        )
+        r = (
+            shard_ell_rect(level.r, mesh, axis, use_halo=use_halo)
+            if level.r is not None
+            else None
+        )
+        p = (
+            shard_ell_rect(level.p, mesh, axis, use_halo=use_halo)
+            if level.p is not None
+            else None
+        )
+        new_levels.append(Level(a=a, smoother=smoother, r=r, p=p))
     coarse = replicate(mg.coarse_solver, mesh)
     return dataclasses.replace(
         mg, levels=tuple(new_levels), coarse_solver=coarse
     )
 
 
-def shard_ell_rect(op: SparseOperator, mesh: Mesh, axis: str = "x"):
-    """Shard a rectangular transfer operator by rows when divisible,
-    otherwise replicate."""
+def shard_ell_rect(
+    op: SparseOperator, mesh: Mesh, axis: str = "x", use_halo: bool = True
+):
+    """Shard a rectangular transfer operator: halo form when both dims
+    divide evenly and the band holds, row-sharded when rows divide,
+    otherwise replicated."""
     n_dev = mesh.shape[axis]
-    if op.ell.nrows % n_dev == 0:
-        ell = shard_ell(op.ell, mesh, axis)
-    else:
-        ell = replicate(op.ell, mesh)
+    ell = try_shard_halo(op.ell, mesh, axis) if use_halo else None
+    if ell is None:
+        if isinstance(op.ell, ELL) and op.ell.nrows % n_dev == 0:
+            ell = shard_ell(op.ell, mesh, axis)
+        else:
+            ell = replicate(op.ell, mesh)
     ell_t = replicate(op.ell_t, mesh) if op.ell_t is not None else None
     return SparseOperator(ell=ell, ell_t=ell_t)
 

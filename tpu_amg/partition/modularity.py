@@ -55,6 +55,11 @@ class PartitionerConfig:
     agg_size_penalty: float = 1.0
     max_improvement_iters: int = 100
     max_depth: int = 3  # strength-graph BFS depth (mod.rs:290)
+    # strict=False keeps the reference's degrade-gracefully default
+    # (warn-and-break on a stalled matching, modularity.rs:183-186);
+    # strict=True raises errors.CoarseningStalled instead so adaptive
+    # drivers can catch it and loosen the coarsening factor.
+    strict: bool = False
     # split disconnected aggregates after improvement (the reference
     # knowingly leaves them — modularity.rs:440 "This can break
     # aggregates into disconnected components... not great"; scattered
@@ -169,10 +174,15 @@ class ModularityPartitioner:
         while self.partition.num_nodes / self.partition.num_aggs < cf:
             pairs, unmatched = self._greedy_matching(cf)
             if len(pairs) == 0:
+                achieved = self.partition.num_nodes / self.partition.num_aggs
+                if self.config.strict:
+                    from tpu_amg.errors import CoarseningStalled
+
+                    raise CoarseningStalled(cf, achieved)
                 logger.warning(
                     "greedy partitioner stalled: target cf %.2f achieved %.2f",
                     cf,
-                    self.partition.num_nodes / self.partition.num_aggs,
+                    achieved,
                 )
                 break
             self._apply_matching(pairs, unmatched)

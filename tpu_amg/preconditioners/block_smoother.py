@@ -13,13 +13,19 @@ for cut edges so the block stays an SPD upper bound:
 
 then factor each block and apply as gather → per-block solve → scatter.
 
-TPU-native design: all aggregates are padded to the maximum aggregate dof
-count; the per-block inverses are materialized once at setup (the
+TPU-native design: aggregates are grouped into power-of-two *size
+buckets* (instead of padding everything to the global max — skewed
+distributions would otherwise cost O(n_aggs·bmax²) memory); the per-block
+inverses are materialized once at setup via batched Cholesky (the
 reference's ``into_sparse_mat`` analog, block_smoothers.rs:125-146), so
-each application is a single batched (n_aggs, bmax, bmax) × (n_aggs, bmax)
-matmul on the MXU plus one gather and one disjoint scatter — replacing the
-reference's rayon loop of per-aggregate Cholesky solves
-(block_smoothers.rs:165-214).
+each application is one batched (n_b, s_b, s_b) × (n_b, s_b) matmul on
+the MXU per bucket plus one gather and one disjoint scatter — replacing
+the reference's rayon loop of per-aggregate Cholesky solves
+(block_smoothers.rs:165-214).  Setup is fully vectorized: block
+extraction is one scatter over the intra-aggregate COO entries and the
+block-case compensation is one batched SVD over cut block pairs — no
+per-aggregate Python loop (reference uses rayon par_iter,
+block_smoothers.rs:95).
 """
 
 from __future__ import annotations
@@ -38,47 +44,60 @@ from tpu_amg.sparse.csr import CSR
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class BlockBucket:
+    """Aggregates padded to one common size s_b."""
+
+    inv_blocks: jax.Array  # (n_b, s_b, s_b) materialized block inverses
+    idx: jax.Array  # (n_b, s_b) int32 dof indices, padded with 0
+    mask: jax.Array  # (n_b, s_b) 1.0 valid / 0.0 padding
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BlockSmoother(LinearOperator):
-    inv_blocks: jax.Array  # (n_aggs, bmax, bmax) materialized block inverses
-    idx: jax.Array  # (n_aggs, bmax) int32 dof indices, padded with 0
-    mask: jax.Array  # (n_aggs, bmax) 1.0 valid / 0.0 padding
+    buckets: Tuple[BlockBucket, ...]
     n: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def shape(self) -> Tuple[int, int]:
         return (self.n, self.n)
 
-    def _scatter(self, x, sol):
+    def _scatter_add(self, out, idx, sol, x):
         """Disjoint scatter-add of per-aggregate solutions back to dofs,
         with explicit output sharding matching x when inputs are sharded."""
-        out = jnp.zeros((self.n,) + x.shape[1:], dtype=x.dtype)
-        idx_spec = tuple(jax.typeof(self.idx).sharding.spec)
+        idx_spec = tuple(jax.typeof(idx).sharding.spec)
         x_spec = tuple(jax.typeof(x).sharding.spec)
         if all(s is None for s in idx_spec + x_spec):
-            return out.at[self.idx].add(sol)
+            return out.at[idx].add(sol)
         from jax.sharding import PartitionSpec as P
 
-        return out.at[self.idx].add(sol, out_sharding=P(*x_spec))
+        return out.at[idx].add(sol, out_sharding=P(*x_spec))
 
     def mv(self, x):
         from tpu_amg.sparse.ell import _row_gather
 
-        rhs = _row_gather(x, self.idx, 0) * self.mask  # (n_aggs, bmax)
-        sol = jnp.einsum(
-            "abc,ac->ab", self.inv_blocks, rhs,
-            preferred_element_type=rhs.dtype,
-        )
-        return self._scatter(x, sol * self.mask)
+        out = jnp.zeros((self.n,) + x.shape[1:], dtype=x.dtype)
+        for b in self.buckets:
+            rhs = _row_gather(x, b.idx, 0) * b.mask  # (n_b, s_b)
+            sol = jnp.einsum(
+                "abc,ac->ab", b.inv_blocks, rhs,
+                preferred_element_type=rhs.dtype,
+            )
+            out = self._scatter_add(out, b.idx, sol * b.mask, x)
+        return out
 
     def mm(self, xs):
         from tpu_amg.sparse.ell import _row_gather
 
-        rhs = _row_gather(xs, self.idx, 1) * self.mask[..., None]
-        sol = jnp.einsum(
-            "abc,acm->abm", self.inv_blocks, rhs,
-            preferred_element_type=rhs.dtype,
-        )
-        return self._scatter(xs, sol * self.mask[..., None])
+        out = jnp.zeros((self.n,) + xs.shape[1:], dtype=xs.dtype)
+        for b in self.buckets:
+            rhs = _row_gather(xs, b.idx, 1) * b.mask[..., None]
+            sol = jnp.einsum(
+                "abc,acm->abm", b.inv_blocks, rhs,
+                preferred_element_type=rhs.dtype,
+            )
+            out = self._scatter_add(out, b.idx, sol * b.mask[..., None], xs)
+        return out
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -90,49 +109,148 @@ class BlockSmoother(LinearOperator):
         partition came from a block-contracted graph, reference
         partitioners/mod.rs:294-301).
         """
+        sm, _ = BlockSmoother.build_cached(a, partition, dtype)
+        return sm
+
+    @staticmethod
+    def build_cached(
+        a: CSR, partition: Partition, dtype=jnp.float64, cache=None
+    ):
+        """``build`` plus an opaque cache enabling *exact incremental*
+        rebuilds: when called again with the same partition on a
+        modified matrix (compatible relaxation re-zeroes C rows/cols
+        each round, classical.py), only aggregates whose assembled
+        block changed are re-factorized.  Returns (smoother, cache)."""
         n = a.nrows
         if partition.num_nodes != n:
             raise ValueError(
                 f"partition covers {partition.num_nodes} dofs, matrix has {n}"
             )
         bs = a.block_size
-        comp = _diag_compensation(a, partition.node_to_agg, bs)
+        node_to_agg = partition.node_to_agg
+        n_aggs = partition.num_aggs
+        comp = _diag_compensation(a, node_to_agg, bs)
 
-        agg_lists = partition.agg_lists()
-        n_aggs = len(agg_lists)
-        bmax = max(len(g) for g in agg_lists)
+        # local rank of each dof within its (ascending-sorted) aggregate
+        order = np.argsort(node_to_agg, kind="stable")
+        sizes = np.bincount(node_to_agg, minlength=n_aggs)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        local_rank = np.empty(n, dtype=np.int64)
+        local_rank[order] = np.arange(n) - np.repeat(starts, sizes)
 
-        idx = np.zeros((n_aggs, bmax), dtype=np.int32)
-        mask = np.zeros((n_aggs, bmax))
-        blocks = np.tile(np.eye(bmax), (n_aggs, 1, 1))
-        a_sp = a.to_scipy().tocsr()  # one conversion; C-speed slicing
-        for k, dofs in enumerate(agg_lists):
-            m = len(dofs)
-            idx[k, :m] = dofs
-            mask[k, :m] = 1.0
-            blk = a_sp[dofs][:, dofs].toarray()
-            if bs == 1:
-                blk[np.arange(m), np.arange(m)] += comp[dofs]
-            else:
-                blk += comp_block_for(comp, dofs, bs)
-            blocks[k, :m, :m] = blk
-
-        inv_blocks = np.linalg.inv(blocks)
-        return BlockSmoother(
-            inv_blocks=jnp.asarray(inv_blocks, dtype=dtype),
-            idx=jnp.asarray(idx),
-            mask=jnp.asarray(mask, dtype=dtype),
-            n=n,
+        # power-of-two size buckets (min 4)
+        padded = np.maximum(
+            4, 2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64)
         )
+        rows, cols, vals = a.coo()
+        intra = node_to_agg[rows] == node_to_agg[cols]
+        ri, ci, vi = rows[intra], cols[intra], vals[intra]
+        agg_i = node_to_agg[ri]
+
+        buckets = []
+        new_cache: dict = {"n_aggs": n_aggs, "by_size": {}}
+        for s_b in np.unique(padded):
+            agg_sel = np.flatnonzero(padded == s_b)
+            n_b = len(agg_sel)
+            slot = -np.ones(n_aggs, dtype=np.int64)
+            slot[agg_sel] = np.arange(n_b)
+            sizes_b = sizes[agg_sel]
+
+            blocks = np.zeros((n_b, s_b, s_b))
+            # one vectorized scatter of all intra-aggregate entries
+            in_b = slot[agg_i] >= 0
+            blocks[slot[agg_i[in_b]], local_rank[ri[in_b]],
+                   local_rank[ci[in_b]]] = vi[in_b]
+            # identity on padded diagonal slots
+            jj = np.arange(s_b)
+            pad_mask = jj[None, :] >= sizes_b[:, None]
+            blocks[np.arange(n_b)[:, None], jj[None, :], jj[None, :]] += (
+                pad_mask.astype(np.float64)
+            )
+            # diagonal compensation
+            if bs == 1:
+                dofs_b = np.flatnonzero(slot[node_to_agg] >= 0)
+                np.add.at(
+                    blocks,
+                    (slot[node_to_agg[dofs_b]], local_rank[dofs_b],
+                     local_rank[dofs_b]),
+                    comp[dofs_b],
+                )
+            else:
+                blk_ids = np.flatnonzero(
+                    slot[node_to_agg[np.arange(0, n, bs)]] >= 0
+                )
+                if len(blk_ids):
+                    first_dof = blk_ids * bs
+                    ag = node_to_agg[first_dof]
+                    ls = local_rank[first_dof]
+                    ar = np.arange(bs)
+                    np.add.at(
+                        blocks,
+                        (
+                            slot[ag][:, None, None],
+                            ls[:, None, None] + ar[None, :, None],
+                            ls[:, None, None] + ar[None, None, :],
+                        ),
+                        comp[blk_ids],
+                    )
+
+            idx = np.zeros((n_b, s_b), dtype=np.int32)
+            mask = np.zeros((n_b, s_b))
+            dofs_b = np.flatnonzero(slot[node_to_agg] >= 0)
+            idx[slot[node_to_agg[dofs_b]], local_rank[dofs_b]] = dofs_b
+            mask[slot[node_to_agg[dofs_b]], local_rank[dofs_b]] = 1.0
+
+            prev = None
+            if (
+                cache is not None
+                and cache.get("n_aggs") == n_aggs
+                and int(s_b) in cache["by_size"]
+            ):
+                prev = cache["by_size"][int(s_b)]
+            if prev is not None and prev["blocks"].shape == blocks.shape:
+                # exact incremental: re-factor only changed aggregates
+                changed = np.flatnonzero(
+                    np.any(prev["blocks"] != blocks, axis=(1, 2))
+                )
+                inv = prev["inv"].copy()
+                if len(changed):
+                    inv[changed] = _spd_inverse(blocks[changed])
+            else:
+                inv = _spd_inverse(blocks)
+            new_cache["by_size"][int(s_b)] = {"blocks": blocks, "inv": inv}
+
+            buckets.append(
+                BlockBucket(
+                    inv_blocks=jnp.asarray(inv, dtype=dtype),
+                    idx=jnp.asarray(idx),
+                    mask=jnp.asarray(mask, dtype=dtype),
+                )
+            )
+        return BlockSmoother(buckets=tuple(buckets), n=n), new_cache
+
+
+def _spd_inverse(blocks: np.ndarray) -> np.ndarray:
+    """Batched SPD inverse via Cholesky (inv = L⁻ᵀL⁻¹); falls back to LU
+    for blocks that fail the factorization (compensation guarantees SPD
+    in exact arithmetic — block_smoothers.rs:293-399 — but roundoff can
+    bite on near-singular aggregates)."""
+    try:
+        chol = np.linalg.cholesky(blocks)
+    except np.linalg.LinAlgError:
+        return np.linalg.inv(blocks)
+    eye = np.broadcast_to(np.eye(blocks.shape[1]), blocks.shape)
+    linv = np.linalg.solve(chol, eye)
+    return np.einsum("aki,akj->aij", linv, linv)
 
 
 def _diag_compensation(a: CSR, node_to_agg: np.ndarray, bs: int):
     """Cut-edge diagonal compensation.
 
     Scalar case returns a (n,) vector of diagonal additions
-    (block_smoothers.rs:293-324).  Block case returns a dict
-    block_index → (bs, bs) matrix of diagonal-block additions
-    (block_smoothers.rs:326-399).
+    (block_smoothers.rs:293-324).  Block case returns a
+    (n_blocks, bs, bs) array of diagonal-block additions computed with
+    one batched SVD over all cut block pairs (block_smoothers.rs:326-399).
     """
     rows, cols, vals = a.coo()
     cut = node_to_agg[rows] != node_to_agg[cols]
@@ -147,44 +265,20 @@ def _diag_compensation(a: CSR, node_to_agg: np.ndarray, bs: int):
         return comp
 
     # block case: group cut entries by (block_row, block_col), form the
-    # dense bs×bs coupling block, SVD, accumulate 0.5·U|S|Uᵀ
+    # dense bs×bs coupling blocks, one batched SVD, accumulate 0.5·U|S|Uᵀ
+    n_blocks = a.nrows // bs
     brows, bcols = rows // bs, cols // bs
-    bcut = (node_to_agg[rows] != node_to_agg[cols]) & (brows != bcols)
+    bcut = cut & (brows != bcols)
+    comp = np.zeros((n_blocks, bs, bs))
+    if not bcut.any():
+        return comp
     r, c, v = rows[bcut], cols[bcut], vals[bcut]
     br, bc = brows[bcut], bcols[bcut]
     pair_key = br * (a.ncols // bs) + bc
-    order = np.argsort(pair_key, kind="stable")
-    r, c, v, br, bc, pair_key = (
-        r[order], c[order], v[order], br[order], bc[order], pair_key[order]
-    )
-    comp: dict = {}
-    start = 0
-    while start < len(pair_key):
-        end = start
-        while end < len(pair_key) and pair_key[end] == pair_key[start]:
-            end += 1
-        i_blk = int(br[start])
-        blk = np.zeros((bs, bs))
-        blk[r[start:end] % bs, c[start:end] % bs] = -v[start:end]
-        u, s, _ = np.linalg.svd(blk)
-        add = 0.5 * (u * np.abs(s)) @ u.T
-        if i_blk in comp:
-            comp[i_blk] += add
-        else:
-            comp[i_blk] = add
-        start = end
+    uniq, inv_idx = np.unique(pair_key, return_inverse=True)
+    mats = np.zeros((len(uniq), bs, bs))
+    mats[inv_idx, r % bs, c % bs] = -v
+    u, s, _ = np.linalg.svd(mats)
+    adds = 0.5 * np.einsum("pik,pk,pjk->pij", u, np.abs(s), u)
+    np.add.at(comp, (uniq // (a.ncols // bs)), adds)
     return comp
-
-
-def comp_block_for(comp: dict, dofs: np.ndarray, bs: int) -> np.ndarray:
-    """Expand per-block compensation into the local dense block layout."""
-    m = len(dofs)
-    out = np.zeros((m, m))
-    # dofs are sorted and block-aligned within an aggregate
-    for local_start in range(0, m, bs):
-        blk_id = int(dofs[local_start]) // bs
-        if blk_id in comp:
-            out[
-                local_start : local_start + bs, local_start : local_start + bs
-            ] += comp[blk_id]
-    return out

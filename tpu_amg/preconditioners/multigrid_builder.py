@@ -125,6 +125,19 @@ class MultigridConfig:
             p_op = SparseOperator.from_csr(
                 hierarchy.get_interpolation(lvl), dtype=self.dtype
             )
+            n_coarse = hierarchy.get_op(lvl + 1).nrows
+            if (
+                r_op.shape != (n_coarse, a.nrows)
+                or p_op.shape != (a.nrows, n_coarse)
+                or smoother.shape[0] != a.nrows
+            ):
+                from tpu_amg.errors import MultigridBuildError
+
+                raise MultigridBuildError(
+                    f"level {lvl} assembly mismatch: A n={a.nrows}, "
+                    f"R {r_op.shape}, P {p_op.shape}, smoother "
+                    f"{smoother.shape}, coarse n={n_coarse}"
+                )
             levels.append(Level(a=a_op, smoother=smoother, r=r_op, p=p_op))
         coarse = build_coarse_solver(
             self.coarse_solver or "cholesky",

@@ -115,14 +115,16 @@ class AMGSolver:
             ),
         )
         if config.method == "adaptive":
-            pc = AdaptiveConfig(
+            pc, hierarchies = AdaptiveConfig(
                 hierarchy_config=hier_cfg,
                 multigrid_config=mg_cfg,
                 max_components=config.composite_components,
                 test_iters=config.smoothing_iters,
                 coarsening_near_null_dim=config.coarsening_near_null_dim,
-            ).build(a, key)
-            return AMGSolver(a, pc, hierarchy=None, config=config, perm=perm)
+            ).build(a, key, return_hierarchies=True)
+            solver = AMGSolver(a, pc, hierarchy=None, config=config, perm=perm)
+            solver.component_hierarchies = hierarchies
+            return solver
 
         nn = find_near_null(
             a,
@@ -182,19 +184,25 @@ class AMGSolver:
 
     # ------------------------------------------------------------------
     def save(self, path) -> None:
-        if self.hierarchy is None:
-            raise ValueError("adaptive composite solvers are not yet serializable")
-        from tpu_amg.utils.checkpoint import save_hierarchy
+        """Checkpoint the setup artifact: the hierarchy (SA/classical) or
+        the per-component hierarchies (adaptive composite)."""
+        if self.hierarchy is not None:
+            from tpu_amg.utils.checkpoint import save_hierarchy
 
-        save_hierarchy(path, self.hierarchy)
+            save_hierarchy(path, self.hierarchy)
+            return
+        hierarchies = getattr(self, "component_hierarchies", None)
+        if not hierarchies:
+            raise ValueError(
+                "solver has neither a hierarchy nor component hierarchies"
+            )
+        from tpu_amg.utils.checkpoint import save_composite_hierarchies
+
+        save_composite_hierarchies(path, hierarchies)
 
     @staticmethod
-    def load(path, a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
-        from tpu_amg.utils.checkpoint import load_hierarchy
-
-        config = config or SolverConfig()
-        hierarchy = load_hierarchy(path)
-        mg = MultigridConfig(
+    def _mg_config(config: SolverConfig) -> MultigridConfig:
+        return MultigridConfig(
             mu=config.mu,
             smoothing_steps=config.smoothing_steps,
             smoother=config.smoother,
@@ -203,5 +211,37 @@ class AMGSolver:
                 coarsening_factor=config.block_smoother_size,
                 max_improvement_iters=50,
             ),
-        ).build(hierarchy)
+        )
+
+    @staticmethod
+    def load(path, a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
+        """Rebuild a solver from a checkpoint (single-hierarchy or
+        adaptive-composite archive; the format self-identifies)."""
+        import json as _json
+
+        import numpy as _np
+
+        from tpu_amg.utils.checkpoint import (
+            load_composite_hierarchies,
+            load_hierarchy,
+        )
+
+        config = config or SolverConfig()
+        mg_cfg = AMGSolver._mg_config(config)
+        with _np.load(path) as z:
+            meta = _json.loads(bytes(z["__meta__"]).decode())
+        if "components" in meta:
+            from tpu_amg.preconditioners.composite import Composite
+
+            hierarchies = load_composite_hierarchies(path)
+            components = tuple(mg_cfg.build(h) for h in hierarchies)
+            pc = Composite(
+                a=aslinearoperator(a, dtype=config.dtype),
+                components=components,
+            )
+            solver = AMGSolver(a, pc, hierarchy=None, config=config)
+            solver.component_hierarchies = hierarchies
+            return solver
+        hierarchy = load_hierarchy(path)
+        mg = mg_cfg.build(hierarchy)
         return AMGSolver(a, mg, hierarchy=hierarchy, config=config)

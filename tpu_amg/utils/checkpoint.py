@@ -43,25 +43,49 @@ def _unpack_csr(prefix: str, z) -> CSR:
     )
 
 
-def save_hierarchy(path, h: Hierarchy) -> None:
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    arrays: dict = {}
+def _pack_hierarchy(h: Hierarchy, arrays: dict, prefix: str = "") -> dict:
     meta = {
         "num_levels": h.num_levels,
         "partition_kinds": h.partition_kinds,
         "coarsest_dim": h.config.coarsest_dim,
         "max_levels": h.config.max_levels,
-        "version": 1,
     }
     for lvl in range(h.num_levels):
-        _pack_csr(f"A{lvl}", h.matrices[lvl], arrays)
-        arrays[f"nn{lvl}"] = h.near_nulls[lvl]
-        arrays[f"w{lvl}"] = h.nn_weights[lvl]
+        _pack_csr(f"{prefix}A{lvl}", h.matrices[lvl], arrays)
+        arrays[f"{prefix}nn{lvl}"] = h.near_nulls[lvl]
+        arrays[f"{prefix}w{lvl}"] = h.nn_weights[lvl]
     for lvl in range(h.num_levels - 1):
-        _pack_csr(f"P{lvl}", h.interpolations[lvl], arrays)
-        _pack_csr(f"R{lvl}", h.restrictions[lvl], arrays)
-        arrays[f"part{lvl}"] = h.partitions[lvl].node_to_agg
+        _pack_csr(f"{prefix}P{lvl}", h.interpolations[lvl], arrays)
+        _pack_csr(f"{prefix}R{lvl}", h.restrictions[lvl], arrays)
+        arrays[f"{prefix}part{lvl}"] = h.partitions[lvl].node_to_agg
+    return meta
+
+
+def _unpack_hierarchy(z, meta: dict, prefix: str = "") -> Hierarchy:
+    h = Hierarchy(
+        config=HierarchyConfig(
+            coarsest_dim=meta["coarsest_dim"], max_levels=meta["max_levels"]
+        )
+    )
+    num_levels = meta["num_levels"]
+    for lvl in range(num_levels):
+        h.matrices.append(_unpack_csr(f"{prefix}A{lvl}", z))
+        h.near_nulls.append(z[f"{prefix}nn{lvl}"])
+        h.nn_weights.append(z[f"{prefix}w{lvl}"])
+    for lvl in range(num_levels - 1):
+        h.interpolations.append(_unpack_csr(f"{prefix}P{lvl}", z))
+        h.restrictions.append(_unpack_csr(f"{prefix}R{lvl}", z))
+        h.partitions.append(Partition(z[f"{prefix}part{lvl}"]))
+    h.partition_kinds = list(meta["partition_kinds"])
+    return h
+
+
+def save_hierarchy(path, h: Hierarchy) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays: dict = {}
+    meta = _pack_hierarchy(h, arrays)
+    meta["version"] = 1
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -71,19 +95,39 @@ def save_hierarchy(path, h: Hierarchy) -> None:
 def load_hierarchy(path) -> Hierarchy:
     z = np.load(Path(path))
     meta = json.loads(bytes(z["__meta__"]).decode())
-    h = Hierarchy(
-        config=HierarchyConfig(
-            coarsest_dim=meta["coarsest_dim"], max_levels=meta["max_levels"]
+    if "components" in meta:
+        raise ValueError(
+            "this is a composite checkpoint; use load_composite_hierarchies"
         )
+    return _unpack_hierarchy(z, meta)
+
+
+def save_composite_hierarchies(path, hierarchies) -> None:
+    """Checkpoint an adaptive composite: the per-component hierarchies
+    (the expensive bootstrap artifact — reference adaptivity.rs:50-165
+    rebuilds it from scratch every run; we don't have to)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays: dict = {}
+    metas = [
+        _pack_hierarchy(h, arrays, prefix=f"c{k}_")
+        for k, h in enumerate(hierarchies)
+    ]
+    meta = {"version": 1, "components": metas}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
     )
-    num_levels = meta["num_levels"]
-    for lvl in range(num_levels):
-        h.matrices.append(_unpack_csr(f"A{lvl}", z))
-        h.near_nulls.append(z[f"nn{lvl}"])
-        h.nn_weights.append(z[f"w{lvl}"])
-    for lvl in range(num_levels - 1):
-        h.interpolations.append(_unpack_csr(f"P{lvl}", z))
-        h.restrictions.append(_unpack_csr(f"R{lvl}", z))
-        h.partitions.append(Partition(z[f"part{lvl}"]))
-    h.partition_kinds = list(meta["partition_kinds"])
-    return h
+    np.savez_compressed(path, **arrays)
+
+
+def load_composite_hierarchies(path):
+    z = np.load(Path(path))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    if "components" not in meta:
+        raise ValueError(
+            "this is a single-hierarchy checkpoint; use load_hierarchy"
+        )
+    return [
+        _unpack_hierarchy(z, m, prefix=f"c{k}_")
+        for k, m in enumerate(meta["components"])
+    ]
