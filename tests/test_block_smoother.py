@@ -37,7 +37,7 @@ class TestBlockSmoother:
         expected = a.extract(range(4), range(4))
         expected[3, 3] += 0.5 * 1.0 / h2  # sqrt(d/d)=1, |a_ij| = 1/h^2
         np.testing.assert_allclose(
-            np.linalg.inv(blk), expected, rtol=1e-10, atol=1e-8
+            np.linalg.inv(blk)[:4, :4], expected, rtol=1e-10, atol=1e-8
         )
 
     def test_symmetric(self):

@@ -26,6 +26,7 @@ Numerics are identical.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from itertools import combinations
 from typing import Optional
 
@@ -39,6 +40,8 @@ from tpu_amg.preconditioners.block_smoother import BlockSmoother
 from tpu_amg.preconditioners.smoothers import ErrorPropagator
 from tpu_amg.sparse import CSR, spgemm
 from tpu_amg.sparse.ops import from_coo
+
+logger = logging.getLogger(__name__)
 
 # weight-validation constants (reference mod.rs:363-365, 394-396)
 MIN_ABS = 1e-10
@@ -156,6 +159,10 @@ def compatible_relaxation(
         slow = sigma > tol
         state = np.where(slow & (state != _C), _F, state)
         state = np.where((~slow) & (state == _F), _N, state).astype(np.int8)
+        logger.info(
+            "CR round: reduction=%.3f C=%d/%d",
+            reduction, int((state == _C).sum()), n,
+        )
     return state
 
 

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_amg.linop import SparseOperator
 from tpu_amg.parallel.halo import HaloDIA, HaloELL
+from tpu_amg.parallel.multihost import global_put
 from tpu_amg.preconditioners.block_smoother import BlockSmoother
 from tpu_amg.preconditioners.multigrid import Level, Multigrid
 from tpu_amg.sparse.dia import DIA
@@ -93,8 +94,8 @@ def shard_ell(ell: ELL, mesh: Mesh, axis="x") -> ELL:
     sharding = NamedSharding(mesh, P(spec_axis, None))
     return dataclasses.replace(
         ell,
-        data=jax.device_put(ell.data, sharding),
-        cols=jax.device_put(ell.cols, sharding),
+        data=global_put(ell.data, sharding),
+        cols=global_put(ell.cols, sharding),
     )
 
 
@@ -102,7 +103,7 @@ def replicate(tree, mesh: Mesh):
     """Replicate every array of a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding)
+        lambda x: global_put(x, sharding)
         if isinstance(x, jax.Array)
         else x,
         tree,
@@ -176,9 +177,9 @@ def _shard_block_bucket(b, mesh: Mesh, axis: str):
     s2 = NamedSharding(mesh, P(axis, None))
     return dataclasses.replace(
         b,
-        inv_blocks=jax.device_put(b.inv_blocks, s3),
-        idx=jax.device_put(b.idx, s2),
-        mask=jax.device_put(b.mask, s2),
+        inv_blocks=global_put(b.inv_blocks, s3),
+        idx=global_put(b.idx, s2),
+        mask=global_put(b.mask, s2),
     )
 
 
@@ -274,4 +275,4 @@ def shard_ell_rect(
 def shard_vector(x, mesh: Mesh, axis="x"):
     spec_axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     spec = P(spec_axis) if x.ndim == 1 else P(spec_axis, None)
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    return global_put(x, NamedSharding(mesh, spec))

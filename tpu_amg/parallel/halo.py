@@ -149,10 +149,12 @@ class HaloELL:
         # the local window so the buffer gather stays in bounds
         offset = np.where(valid, offset, 0)
         cols_local = (offset + halo).astype(np.int32)
+        from tpu_amg.parallel.multihost import global_put
+
         sharding = NamedSharding(mesh, P(axis, None))
         return HaloELL(
-            data=jax.device_put(jnp.asarray(data, ell.dtype), sharding),
-            cols_local=jax.device_put(jnp.asarray(cols_local), sharding),
+            data=global_put(jnp.asarray(data, ell.dtype), sharding),
+            cols_local=global_put(jnp.asarray(cols_local), sharding),
             shape=ell.shape,
             nnz=ell.nnz,
             halo=halo,
@@ -221,9 +223,11 @@ class HaloDIA:
                 f"band assumption violated: diagonal offset {halo} exceeds "
                 f"local window {n_loc}"
             )
+        from tpu_amg.parallel.multihost import global_put
+
         sharding = NamedSharding(mesh, P(None, axis))
         return HaloDIA(
-            data=jax.device_put(dia.data, sharding),
+            data=global_put(dia.data, sharding),
             offsets=dia.offsets,
             shape=dia.shape,
             nnz=dia.nnz,

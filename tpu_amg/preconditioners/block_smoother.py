@@ -138,10 +138,12 @@ class BlockSmoother(LinearOperator):
         local_rank = np.empty(n, dtype=np.int64)
         local_rank[order] = np.arange(n) - np.repeat(starts, sizes)
 
-        # power-of-two size buckets (min 4)
-        padded = np.maximum(
-            4, 2 ** np.ceil(np.log2(np.maximum(sizes, 1))).astype(np.int64)
-        )
+        # size buckets: multiples of 64 above 8 (≤1.25x padding for the
+        # big cf≈128-256 smoother blocks whose Cholesky dominates setup;
+        # a power-of-two scheme would pad 257→512 = 8x the flops)
+        padded = np.where(
+            sizes <= 8, 8, ((np.maximum(sizes, 1) + 63) // 64) * 64
+        ).astype(np.int64)
         rows, cols, vals = a.coo()
         intra = node_to_agg[rows] == node_to_agg[cols]
         ri, ci, vi = rows[intra], cols[intra], vals[intra]
@@ -234,14 +236,24 @@ def _spd_inverse(blocks: np.ndarray) -> np.ndarray:
     """Batched SPD inverse via Cholesky (inv = L⁻ᵀL⁻¹); falls back to LU
     for blocks that fail the factorization (compensation guarantees SPD
     in exact arithmetic — block_smoothers.rs:293-399 — but roundoff can
-    bite on near-singular aggregates)."""
+    bite on near-singular aggregates).
+
+    Cost ≈ 1.7·s³ per block, all in LAPACK/BLAS (potrf + trtri + gemm);
+    this is the dominant setup flop sink of compatible relaxation
+    (classical.py), so no naive-einsum/LU detours."""
     try:
         chol = np.linalg.cholesky(blocks)
     except np.linalg.LinAlgError:
         return np.linalg.inv(blocks)
-    eye = np.broadcast_to(np.eye(blocks.shape[1]), blocks.shape)
-    linv = np.linalg.solve(chol, eye)
-    return np.einsum("aki,akj->aij", linv, linv)
+    from scipy.linalg import get_lapack_funcs
+
+    (trtri,) = get_lapack_funcs(("trtri",), (blocks,))
+    linv = np.empty_like(chol)
+    for k in range(chol.shape[0]):  # one LAPACK call per block
+        linv[k], info = trtri(chol[k], lower=1)
+        if info != 0:
+            return np.linalg.inv(blocks)
+    return np.matmul(linv.transpose(0, 2, 1), linv)
 
 
 def _diag_compensation(a: CSR, node_to_agg: np.ndarray, bs: int):
