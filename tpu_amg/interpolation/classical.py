@@ -30,14 +30,11 @@ import logging
 from itertools import combinations
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from tpu_amg.interpolation.sa import GalerkinCoarse
-from tpu_amg.linop import aslinearoperator
 from tpu_amg.partition import Partition, PartitionerConfig, strength_graph
-from tpu_amg.preconditioners.block_smoother import BlockSmoother
-from tpu_amg.preconditioners.smoothers import ErrorPropagator
+from tpu_amg.preconditioners.block_smoother import BlockSmoother, host_apply
 from tpu_amg.sparse import CSR, spgemm
 from tpu_amg.sparse.ops import from_coo
 
@@ -122,6 +119,17 @@ def compatible_relaxation(
     sm_cache = None  # CR rounds re-zero C rows/cols only: the smoother
     # rebuild is incremental (changed aggregates re-factorized, others
     # reused — VERDICT round 1, item 5)
+
+    # The whole CR loop runs on HOST: it is a setup-phase algorithm whose
+    # matrix pattern would otherwise change shape every round and force a
+    # fresh XLA compile of the relaxation (minutes per round at 100k+
+    # dofs).  Numerics match ErrorPropagator(a_f, m_f, relax_steps).mv
+    # exactly: u ← u − M(A_F u), relax_steps times.
+    rows, cols, vals = a.coo()
+    diag_pos = np.flatnonzero(rows == cols)
+    full_diag = len(diag_pos) == n and np.array_equal(
+        rows[diag_pos], np.arange(n)
+    )
     for _ in range(cr.max_iters):
         if reduction <= cr.target_convergence:
             break
@@ -131,23 +139,28 @@ def compatible_relaxation(
             state[new_c] = _C
         # A_F: C rows/cols zeroed, unit diagonal at C
         not_c = (state != _C).astype(np.float64)
-        rows, cols, vals = a.coo()
         vals_f = vals * not_c[rows] * not_c[cols]
-        c_idx = np.flatnonzero(state == _C)
-        rows_f = np.concatenate([rows, c_idx])
-        cols_f = np.concatenate([cols, c_idx])
-        vals_f = np.concatenate([vals_f, np.ones(len(c_idx))])
-        a_f = CSR.from_coo(rows_f, cols_f, vals_f, a.shape).eliminate_zeros()
+        if full_diag:
+            # fixed sparsity pattern: flip the existing diagonal entries
+            vals_f[diag_pos[state == _C]] = 1.0
+            a_f = dataclasses.replace(a, data=vals_f, block_size=1)
+        else:  # pattern lacks diagonal entries somewhere: rebuild
+            c_idx = np.flatnonzero(state == _C)
+            a_f = CSR.from_coo(
+                np.concatenate([rows, c_idx]),
+                np.concatenate([cols, c_idx]),
+                np.concatenate([vals_f, np.ones(len(c_idx))]),
+                a.shape,
+            )
 
-        m_f, sm_cache = BlockSmoother.build_cached(
-            a_f, smoother_partition, cache=sm_cache
+        _, sm_cache = BlockSmoother.build_cached(
+            a_f, smoother_partition, cache=sm_cache, host_only=True
         )
-        e = ErrorPropagator(
-            a=aslinearoperator(a_f), m=m_f, iters=cr.relax_steps
-        )
+        a_f_sp = a_f.to_scipy()
         u = not_c * u0
         start_norm = np.linalg.norm(u)
-        u = np.asarray(e.mv(jnp.asarray(u)))
+        for _step in range(cr.relax_steps):
+            u = u - host_apply(sm_cache, a_f_sp @ u)
         end_norm = np.linalg.norm(u)
         reduction = (end_norm / max(start_norm, 1e-300)) ** (
             1.0 / cr.relax_steps

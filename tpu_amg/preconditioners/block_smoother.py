@@ -114,13 +114,19 @@ class BlockSmoother(LinearOperator):
 
     @staticmethod
     def build_cached(
-        a: CSR, partition: Partition, dtype=jnp.float64, cache=None
+        a: CSR, partition: Partition, dtype=jnp.float64, cache=None,
+        host_only: bool = False,
     ):
         """``build`` plus an opaque cache enabling *exact incremental*
         rebuilds: when called again with the same partition on a
         modified matrix (compatible relaxation re-zeroes C rows/cols
         each round, classical.py), only aggregates whose assembled
-        block changed are re-factorized.  Returns (smoother, cache)."""
+        block changed are re-factorized.  Returns (smoother, cache).
+
+        ``host_only=True`` skips device placement entirely and returns
+        ``(None, cache)`` — the cache then powers :func:`host_apply`
+        for setup-phase relaxation loops (compatible relaxation) that
+        must not pay an XLA compile per round."""
         n = a.nrows
         if partition.num_nodes != n:
             raise ValueError(
@@ -220,16 +226,36 @@ class BlockSmoother(LinearOperator):
                     inv[changed] = _spd_inverse(blocks[changed])
             else:
                 inv = _spd_inverse(blocks)
-            new_cache["by_size"][int(s_b)] = {"blocks": blocks, "inv": inv}
+            new_cache["by_size"][int(s_b)] = {
+                "blocks": blocks, "inv": inv, "idx": idx, "mask": mask,
+            }
 
-            buckets.append(
-                BlockBucket(
-                    inv_blocks=jnp.asarray(inv, dtype=dtype),
-                    idx=jnp.asarray(idx),
-                    mask=jnp.asarray(mask, dtype=dtype),
+            if not host_only:
+                buckets.append(
+                    BlockBucket(
+                        inv_blocks=jnp.asarray(inv, dtype=dtype),
+                        idx=jnp.asarray(idx),
+                        mask=jnp.asarray(mask, dtype=dtype),
+                    )
                 )
-            )
+        if host_only:
+            return None, new_cache
         return BlockSmoother(buckets=tuple(buckets), n=n), new_cache
+
+
+def host_apply(cache: dict, x: np.ndarray) -> np.ndarray:
+    """Apply the block smoother on host from a ``build_cached`` cache:
+    per bucket one gather, one batched matmul, one disjoint assignment.
+    Setup-phase twin of :meth:`BlockSmoother.mv` (identical numerics)
+    for loops that would otherwise recompile XLA every round."""
+    out = np.zeros_like(x)
+    for e in cache["by_size"].values():
+        idx, mask = e["idx"], e["mask"]
+        rhs = x[idx] * mask
+        sol = np.matmul(e["inv"], rhs[..., None])[..., 0]
+        flat = mask.ravel().astype(bool)
+        out[idx.ravel()[flat]] = sol.ravel()[flat]
+    return out
 
 
 def _spd_inverse(blocks: np.ndarray) -> np.ndarray:
