@@ -18,6 +18,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
+from tpu_amg.utils.platform import apply_env_platform
+
+apply_env_platform()
+
 
 def main():
     p = argparse.ArgumentParser()

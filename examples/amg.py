@@ -26,6 +26,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
+from tpu_amg.utils.platform import apply_env_platform
+
+apply_env_platform()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)

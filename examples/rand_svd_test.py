@@ -14,6 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_amg.utils.platform import apply_env_platform
+
+apply_env_platform()
+
 from tpu_amg.decompositions import rand_svd
 from tpu_amg.linop import DenseOperator
 

@@ -14,6 +14,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from tpu_amg.utils.platform import apply_env_platform
+
+apply_env_platform()
+
 import jax.numpy as jnp
 
 from tpu_amg.linop import aslinearoperator

@@ -1,0 +1,295 @@
+"""Pallas TPU kernel for WELL (windowed-ELL) SpMV — the unstructured
+fast path.
+
+The reference's only perf kernel (par_spmm.rs:98-132) handles arbitrary
+CSR at memory speed on CPU; on TPU an arbitrary ``x[cols]`` gather lowers
+to a scalar XLA gather (~0.1 Gnnz/s measured round 1).  This kernel keeps
+the gather on-chip: Mosaic's only fast gathers are
+
+  * lane gather   : ``take_along_axis(t, i, axis=-1)`` with t, i of shape
+                    (M, 128) — each sublane row gathers within its own
+                    128 lanes, and
+  * sublane gather: the same with ``axis=0`` and shape exactly (8, 128) —
+                    each lane gathers within its own 8 sublanes,
+
+so the WELL format (built host-side, `tpu_amg/sparse/well.py`) stages the
+SpMV as, per 1024-slot vreg of matrix entries:
+
+  1. window  : one async DMA copies x rows ``[q_t, q_t + WIN)`` of the
+               (n/128, 128)-reshaped x into VMEM — the only HBM access
+               to x (tile windows exist because the matrix is RCM-banded).
+  2. stage A : build a per-vreg dedup table (8, 128) holding every
+               distinct x value the vreg's rows touch: WIN/8 masked
+               sublane gathers from the window (a value's table lane is
+               forced to ``col % 128`` because sublane gathers preserve
+               lanes).
+  3. stage B : per entry slot, a sublane gather (table row, per pass) +
+               one lane gather (table lane) reconstructs x[col]; slots
+               whose (vreg-row, lane) collide are split across P passes.
+  4. reduce  : FMA with the entry values, a shift-add tree sums each
+               8-lane block, blocks of multi-block rows are merged with
+               host-computed masks, and a final lane route drops each row
+               sum into its output slot.
+
+Everything dynamic is data; every index map is a static int8 array
+streamed with the values, so the whole kernel is gathers + FMAs at VPU
+speed with no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+LANES = 128
+TABLE_ROWS = 8
+BLOCK = 8  # lanes per row-block
+BLOCKS_PER_VROW = LANES // BLOCK  # 16
+
+
+def _taa_sub(table, idx):
+    """Sublane gather: out[m, l] = table[idx[m, l], l]; (8,128) only."""
+    return jnp.take_along_axis(table, idx, axis=0)
+
+
+def _taa_lane(table, idx):
+    """Lane gather: out[m, l] = table[m, idx[m, l]]."""
+    return jnp.take_along_axis(table, idx, axis=-1)
+
+
+def _kernel(
+    # scalar prefetch
+    q_ref,
+    # blocked inputs (leading tile axis of size 1)
+    amap_ref,
+    lam_ref,
+    pid_ref,
+    rho_ref,
+    data_ref,
+    cont_ref,
+    route_ref,
+    # x window: unblocked HBM x2d (dma mode) or blocked windows
+    x_ref,
+    # output
+    y_ref,
+    # scratch (dma mode only)
+    win_ref=None,
+    sem_ref=None,
+    *,
+    win_rows: int,
+    n_passes: int,
+    merge_rounds: int,
+    vregs: int,
+    dma_window: bool,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    if dma_window:
+        t = pl.program_id(0)
+        qt = q_ref[t]
+        dma = pltpu.make_async_copy(
+            x_ref.at[pl.ds(qt, win_rows), :], win_ref, sem_ref
+        )
+        dma.start()
+        dma.wait()
+
+        def win_slice(g):
+            return win_ref[g * 8 : g * 8 + 8, :]
+
+    else:
+
+        def win_slice(g):
+            return x_ref[0, g * 8 : g * 8 + 8, :]
+
+    for f in range(vregs):
+        # ---- stage A: dedup table --------------------------------------
+        a32 = amap_ref[0, f].astype(jnp.int32)  # (8, 128) window-row ids
+        table = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+        eta = a32 & 7
+        grp = a32 >> 3
+        for g in range((win_rows + 7) // 8):
+            part = _taa_sub(win_slice(g), eta)
+            table = jnp.where(grp == g, part, table)
+
+        # ---- stage B: per-slot gather ----------------------------------
+        r0 = f * TABLE_ROWS
+        lam = lam_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
+        pid = pid_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
+        gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+        for p in range(n_passes):
+            rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
+            rowsel = _taa_sub(table, rho_p)
+            val_p = _taa_lane(rowsel, lam)
+            gathered = jnp.where(pid == p, val_p, gathered)
+
+        contrib = data_ref[0, r0 : r0 + 8, :] * gathered
+
+        # ---- reduce: 8-lane block sums at lanes 0, 8, ..., 120 ----------
+        red = contrib
+        for shift in (1, 2, 4):
+            red = red + pltpu.roll(red, LANES - shift, 1)
+        # compact block sums into lanes [0, 16)
+        cidx = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (TABLE_ROWS, LANES), 1)
+            * BLOCK,
+            LANES - BLOCK,
+        )
+        cm = _taa_lane(red, cidx)
+        # merge multi-block rows (row sum lands at its first block)
+        for k in range(merge_rounds):
+            shift = 1 << k
+            shifted = pltpu.roll(cm, LANES - shift, 1)
+            mask = cont_ref[0, k, r0 : r0 + 8, :] != 0
+            cm = cm + jnp.where(mask, shifted, 0.0)
+        # route block sums to output row slots
+        ridx = route_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
+        yv = _taa_lane(cm, ridx)
+        y_ref[0, r0 : r0 + 8, :] = yv[:, :BLOCKS_PER_VROW]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "win_rows",
+        "n_passes",
+        "merge_rounds",
+        "vregs",
+        "dma_window",
+        "interpret",
+    ),
+)
+def _well_spmv_call(
+    q,
+    amap,
+    lam,
+    pid,
+    rho,
+    data,
+    cont,
+    route,
+    x2d,
+    *,
+    win_rows: int,
+    n_passes: int,
+    merge_rounds: int,
+    vregs: int,
+    dma_window: bool = False,
+    interpret: bool = False,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_tiles = data.shape[0]
+    mrows = vregs * TABLE_ROWS
+
+    def block(shape):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda t, q_ref: (t,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    if dma_window:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x2d stays in HBM
+        scratch = [
+            pltpu.VMEM((win_rows, LANES), data.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+        x_arg = x2d
+    else:
+        # pre-gathered per-tile windows: an efficient XLA row gather
+        # (512B rows), auto-double-buffered by the pallas pipeline
+        with jax.enable_x64(False):
+            idx = q[:, None] + jnp.arange(win_rows, dtype=jnp.int32)[None]
+            x_arg = jnp.take(x2d, idx.reshape(-1), axis=0).reshape(
+                n_tiles, win_rows, LANES
+            )
+        x_spec = block((win_rows, LANES))
+        scratch = []
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            block((vregs, TABLE_ROWS, LANES)),  # amap
+            block((mrows, LANES)),  # lam
+            block((mrows, LANES)),  # pid
+            block((max(n_passes, 1), mrows, LANES)),  # rho
+            block((mrows, LANES)),  # data
+            block((max(merge_rounds, 1), mrows, LANES)),  # cont
+            block((mrows, LANES)),  # route
+            x_spec,
+        ],
+        out_specs=block((mrows, BLOCKS_PER_VROW)),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _kernel,
+        win_rows=win_rows,
+        n_passes=n_passes,
+        merge_rounds=merge_rounds,
+        vregs=vregs,
+        dma_window=dma_window,
+    )
+    nnz_slots = data.size
+    # The package enables jax x64 globally (f64 host numerics); Mosaic
+    # supports no 64-bit types and both the kernel body (take_along_axis
+    # mints int64 iotas) and the BlockSpec index maps (python-int block
+    # indices canonicalize to i64) must be traced with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, mrows, BLOCKS_PER_VROW), data.dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nnz_slots,
+                bytes_accessed=(
+                    data.size * data.dtype.itemsize
+                    + lam.size + pid.size + rho.size + cont.size
+                    + route.size + amap.size
+                    + n_tiles * win_rows * LANES * data.dtype.itemsize
+                ),
+                transcendentals=0,
+            ),
+        )(q, amap, lam, pid, rho, data, cont, route, x_arg)
+    return out
+
+
+def well_spmv(well, x: jax.Array, interpret=None, dma_window=False):
+    """y = A @ x for a WELL-formatted matrix (see sparse/well.py)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n2d = well.x2d_rows
+    xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
+    x2d = xp.reshape(n2d, LANES)
+    out = _well_spmv_call(
+        well.q,
+        well.amap,
+        well.lam,
+        well.pid,
+        well.rho,
+        well.data,
+        well.cont,
+        well.route,
+        x2d,
+        win_rows=well.win_rows,
+        n_passes=well.n_passes,
+        merge_rounds=well.merge_rounds,
+        vregs=well.vregs_per_tile,
+        dma_window=bool(dma_window),
+        interpret=bool(interpret),
+    )
+    # (T, vregs*8, 16) → row-major rows; each vreg-row's first
+    # rows_per_vrow lanes are real rows
+    g = well.rows_per_vrow
+    y = out.reshape(-1, BLOCKS_PER_VROW)[:, :g].reshape(-1)[: well.shape[0]]
+    if well.extra_rows.size:
+        contrib = well.extra_vals * x[well.extra_cols]
+        y = y.at[well.extra_rows].add(contrib.astype(y.dtype))
+    return y

@@ -1,0 +1,385 @@
+"""WELL — Windowed ELL: the TPU fast path for unstructured sparse
+matrices.
+
+The reference framework's ParSpmm (par_spmm.rs:37-84) pre-tiles an
+arbitrary CSR into cache-friendly blocks once and then applies it many
+times; WELL is the TPU analog.  Construction (here, host-side numpy,
+setup-time) lays the matrix out so that the Pallas kernel
+(`tpu_amg/ops/well_pallas.py`) can compute y = A·x with *only* on-chip
+gathers:
+
+* rows are packed 8-entries-per-block into (8, 128) slot vregs
+  (`rows_per_vrow` rows per sublane row, multi-block rows merged in the
+  kernel);
+* each vreg gets a (8, 128) dedup *table* of the distinct x values its
+  rows touch, filled from a per-tile x *window* [q, q+win_rows) of the
+  (n/128, 128)-reshaped x — windows exist because the caller RCM-orders
+  the matrix (utils/reorder.py), bounding each tile's column span;
+* a value's table lane is forced to ``col % 128`` (sublane gathers
+  preserve lanes), so two entries of the same vreg-row whose columns
+  collide mod 128 cannot be gathered in one pass — such entries are
+  split across up to ``max_passes`` gather passes;
+* anything that does not fit (row-block budget, table stack of 8 per
+  lane, pass budget) is spilled to a small COO `extras` tail applied via
+  the XLA gather path — construction FAILS (WellUnsupported) instead if
+  the spill fraction or the window span says the matrix is not
+  band-structured enough.
+
+All maps are static int8 arrays streamed alongside the values; per-nnz
+traffic is ≈ value (4B) + λ/pid (2B) + ρ passes (~P B) + amortized
+window, i.e. memory-bound like the reference's kernel rather than
+gather-bound like plain ELL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+TABLE_ROWS = 8
+BLOCK = 8
+BLOCKS_PER_VROW = LANES // BLOCK  # 16
+
+
+class WellUnsupported(ValueError):
+    """Matrix shape/structure outside what the WELL kernel handles."""
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WELL:
+    """Windowed-ELL matrix; see module docstring.
+
+    Array shapes (T = tiles, F = vregs/tile, M = F*8):
+      q     (T,)              int32  window start row into x2d
+      amap  (T, F, 8, 128)    int8   window row per table slot
+      lam   (T, M, 128)       int8   table lane per entry slot
+      pid   (T, M, 128)       int8   gather pass per entry slot
+      rho   (T, P, M, 128)    int8   table row per (pass, vreg-row, lane)
+      data  (T, M, 128)       dtype  entry values (0 in padded slots)
+      cont  (T, MR, M, 128)   int8   block-merge masks per round
+      route (T, M, 128)       int8   output lane → source block lane
+    """
+
+    q: jax.Array
+    amap: jax.Array
+    lam: jax.Array
+    pid: jax.Array
+    rho: jax.Array
+    data: jax.Array
+    cont: jax.Array
+    route: jax.Array
+    extra_rows: jax.Array
+    extra_cols: jax.Array
+    extra_vals: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    win_rows: int = dataclasses.field(metadata=dict(static=True))
+    x2d_rows: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_vrow: int = dataclasses.field(metadata=dict(static=True))
+    vregs_per_tile: int = dataclasses.field(metadata=dict(static=True))
+    n_passes: int = dataclasses.field(metadata=dict(static=True))
+    merge_rounds: int = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def n_extras(self) -> int:
+        return int(self.extra_rows.shape[0])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.ops.well_pallas import well_spmv
+
+        return well_spmv(self, x)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if x.ndim > 1:
+            return jnp.stack([self.mv(x[:, j]) for j in range(x.shape[1])], 1)
+        return self.mv(x)
+
+    def __repr__(self):
+        slots = int(np.prod(self.data.shape))
+        return (
+            f"WELL(shape={self.shape}, nnz={self.nnz}, slots={slots} "
+            f"(x{slots / max(self.nnz, 1):.2f}), win_rows={self.win_rows}, "
+            f"passes={self.n_passes}, extras={self.n_extras}, "
+            f"dtype={self.dtype})"
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_csr(
+        csr,
+        dtype=jnp.float32,
+        vregs_per_tile: int = 8,
+        max_passes: int = 4,
+        max_win_rows: int = 128,
+        max_spill_frac: float = 0.02,
+    ) -> "WELL":
+        """Build from host CSR.  Raises WellUnsupported when the matrix
+        is not band-structured enough (callers fall back to ELL)."""
+        n, ncols = csr.shape
+        indptr = np.asarray(csr.indptr, dtype=np.int64)
+        indices = np.asarray(csr.indices, dtype=np.int64)
+        vals = np.asarray(csr.data, dtype=np.float64)
+        nnz = len(indices)
+        if nnz == 0 or n == 0:
+            raise WellUnsupported("empty matrix")
+
+        nnz_row = np.diff(indptr)
+        rows_of = np.repeat(np.arange(n, dtype=np.int64), nnz_row)
+        nb_full = np.maximum((nnz_row + BLOCK - 1) // BLOCK, 1)
+
+        # ---- choose rows_per_vrow: largest g whose per-group block
+        # demand fits the 16-block budget with tiny spill -------------
+        g = None
+        for cand in range(BLOCKS_PER_VROW, 3, -1):
+            n_groups = -(-n // cand)
+            pad_rows = n_groups * cand - n
+            demand = np.concatenate([nb_full, np.zeros(pad_rows, np.int64)])
+            gsum = demand.reshape(n_groups, cand).sum(axis=1)
+            over = np.maximum(gsum - BLOCKS_PER_VROW, 0).sum()
+            if over * BLOCK <= max(max_spill_frac * nnz / 4, 0.0):
+                g = cand
+                break
+        if g is None:
+            raise WellUnsupported("row density too irregular for WELL")
+        v_rows = TABLE_ROWS * g  # rows per slot-vreg
+
+        # ---- per-row block allowance within each group budget -------
+        group_of = rows_of // g  # group id per entry (== global vreg-row)
+        n_groups = -(-n // g)
+        nb = nb_full.copy()
+        gsum = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(gsum, np.arange(n) // g, nb)
+        for gi in np.flatnonzero(gsum > BLOCKS_PER_VROW):
+            rows = np.arange(gi * g, min((gi + 1) * g, n))
+            while nb[rows].sum() > BLOCKS_PER_VROW:
+                r = rows[np.argmax(nb[rows])]
+                nb[r] -= 1
+        # exclusive cumsum of nb within each group → first block lane
+        nb_pad = np.zeros(n_groups * g, dtype=np.int64)
+        nb_pad[:n] = nb
+        b0_pad = nb_pad.reshape(n_groups, g).cumsum(axis=1) - nb_pad.reshape(
+            n_groups, g
+        )
+        b0 = b0_pad.reshape(-1)[:n]
+        merge_rounds = int(np.ceil(np.log2(max(nb.max(), 1)))) if nb.max() > 1 else 0
+
+        # ---- entry slots ---------------------------------------------
+        k_in_row = np.arange(nnz) - np.repeat(indptr[:-1], nnz_row)
+        keep = k_in_row < nb[rows_of] * BLOCK
+        lane = (b0[rows_of] + k_in_row // BLOCK) * BLOCK + k_in_row % BLOCK
+        vm = group_of  # global vreg-row id
+        v_of_row = np.arange(n) // v_rows
+        v_e = rows_of // v_rows  # vreg id per entry
+
+        # ---- vreg/tile geometry --------------------------------------
+        f = vregs_per_tile
+        nv = -(-n // v_rows)
+        t_count = -(-nv // f)
+        nv_pad = t_count * f
+        m_rows = f * TABLE_ROWS
+
+        # ---- dedup table per vreg ------------------------------------
+        pair_key = v_e[keep] * np.int64(ncols) + indices[keep]
+        upairs, pair_inv = np.unique(pair_key, return_inverse=True)
+        pv = upairs // ncols
+        pc = upairs % ncols
+        plam = pc % LANES
+        # stack rank within (vreg, lane), ordered by column
+        order = np.lexsort((pc, plam, pv))
+        sk = pv[order] * np.int64(LANES) + plam[order]
+        newgrp = np.concatenate([[True], sk[1:] != sk[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(newgrp, np.arange(len(sk)), 0)
+        )
+        stack_sorted = np.arange(len(sk)) - grp_start
+        stack = np.empty(len(upairs), dtype=np.int64)
+        stack[order] = stack_sorted
+        pair_ok = stack < TABLE_ROWS
+
+        # entries through dropped pairs spill
+        keep_idx = np.flatnonzero(keep)
+        e_ok = pair_ok[pair_inv]
+        keep[keep_idx[~e_ok]] = False
+        kept_pairs = pair_inv[e_ok]
+        ke = keep_idx[e_ok]  # kept entry indices into the raw COO
+
+        # ---- windows per tile ----------------------------------------
+        vmin = np.full(nv_pad, np.int64(ncols), dtype=np.int64)
+        vmax = np.zeros(nv_pad, dtype=np.int64)
+        np.minimum.at(vmin, pv, pc)
+        np.maximum.at(vmax, pv, pc)
+        tmin = vmin.reshape(t_count, f).min(axis=1)
+        tmax = vmax.reshape(t_count, f).max(axis=1)
+        tmax = np.maximum(tmax, tmin)
+        q = tmin // LANES
+        win_rows = int((tmax // LANES - q).max() + 1)
+        if win_rows > max_win_rows:
+            raise WellUnsupported(
+                f"tile column span {win_rows * LANES} exceeds the window "
+                f"cap {max_win_rows * LANES}; matrix too unbanded (RCM it)"
+            )
+        win_rows = max(win_rows, TABLE_ROWS)
+        win_rows = -(-win_rows // TABLE_ROWS) * TABLE_ROWS
+        x2d_rows = int((q + win_rows).max())
+        x2d_rows = max(x2d_rows, -(-ncols // LANES))
+
+        # ---- amap -----------------------------------------------------
+        amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int8)
+        ok = np.flatnonzero(pair_ok)
+        hi = pc[ok] // LANES - q[pv[ok] // f]
+        amap[pv[ok], stack[ok], plam[ok]] = hi.astype(np.int8)
+
+        # ---- pass ids + rho -------------------------------------------
+        vm_k = vm[ke]  # global vreg-row per kept entry
+        lam_k = plam[kept_pairs].astype(np.int64)
+        stk_k = stack[kept_pairs]
+        trip = (vm_k * LANES + lam_k) * TABLE_ROWS + stk_k
+        utrip, trip_inv = np.unique(trip, return_inverse=True)
+        tvl = utrip // TABLE_ROWS  # (vm, lane) key per distinct triple
+        newg = np.concatenate([[True], tvl[1:] != tvl[:-1]])
+        gstart = np.maximum.accumulate(
+            np.where(newg, np.arange(len(utrip)), 0)
+        )
+        passid_u = np.arange(len(utrip)) - gstart
+        pass_k = passid_u[trip_inv]
+        n_passes = int(min(pass_k.max(initial=0) + 1, max_passes))
+
+        over_pass = pass_k >= max_passes
+        if over_pass.any():
+            keep[ke[over_pass]] = False
+            sel = ~over_pass
+            ke, vm_k, lam_k, stk_k, pass_k = (
+                ke[sel], vm_k[sel], lam_k[sel], stk_k[sel], pass_k[sel]
+            )
+
+        spilled = nnz - len(ke)
+        if spilled > max_spill_frac * nnz:
+            raise WellUnsupported(
+                f"{spilled}/{nnz} entries spill outside the WELL layout"
+            )
+
+        rho = np.zeros((nv_pad * TABLE_ROWS, max(n_passes, 1), LANES),
+                       dtype=np.int8)
+        u_ok = passid_u < max_passes
+        u_vm = utrip // (TABLE_ROWS * LANES)
+        u_lam = (utrip // TABLE_ROWS) % LANES
+        u_stk = utrip % TABLE_ROWS
+        rho[u_vm[u_ok], passid_u[u_ok], u_lam[u_ok]] = u_stk[u_ok].astype(
+            np.int8
+        )
+
+        # ---- slot arrays ----------------------------------------------
+        lam_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int8)
+        pid_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int8)
+        data_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.float64)
+        lane_k = lane[ke]
+        lam_a[vm_k, lane_k] = lam_k.astype(np.int8)
+        pid_a[vm_k, lane_k] = pass_k.astype(np.int8)
+        data_a[vm_k, lane_k] = vals[ke]
+
+        # ---- merge masks + route ---------------------------------------
+        mr = max(merge_rounds, 1)
+        cont = np.zeros((nv_pad * TABLE_ROWS, mr, BLOCKS_PER_VROW),
+                        dtype=np.int8)
+        if merge_rounds:
+            # block → row map per vreg-row
+            rr = np.repeat(np.arange(n), nb)
+            cum = np.concatenate([[0], np.cumsum(nb)[:-1]])
+            bi = (b0[rr] + np.arange(nb.sum()) - np.repeat(cum, nb))
+            brow = -np.ones((nv_pad * TABLE_ROWS, BLOCKS_PER_VROW),
+                            dtype=np.int64)
+            brow[rr // g, bi] = rr
+            for k in range(merge_rounds):
+                s = 1 << k
+                same = np.zeros_like(cont[:, k], dtype=bool)
+                same[:, : BLOCKS_PER_VROW - s] = (
+                    (brow[:, : BLOCKS_PER_VROW - s] == brow[:, s:])
+                    & (brow[:, s:] >= 0)
+                )
+                jj = np.arange(BLOCKS_PER_VROW)[None, :]
+                base = np.zeros_like(brow)
+                rows_valid = brow >= 0
+                base[rows_valid] = b0[brow[rows_valid]]
+                aligned = ((jj - base) % (s << 1)) == 0
+                cont[:, k] = (same & aligned).astype(np.int8)
+
+        route = np.zeros((nv_pad * TABLE_ROWS, BLOCKS_PER_VROW),
+                         dtype=np.int8)
+        route[np.arange(n) // g, np.arange(n) % g] = b0.astype(np.int8)
+
+        # ---- extras -----------------------------------------------------
+        ex = np.flatnonzero(~keep)
+
+        # ---- pack to (T, ...) device arrays -----------------------------
+        def tile(a, inner):
+            return jnp.asarray(
+                a.reshape((t_count,) + inner), dtype=a.dtype
+            )
+
+        pad16 = np.zeros(
+            (nv_pad * TABLE_ROWS, mr, LANES - BLOCKS_PER_VROW), np.int8
+        )
+        cont_full = np.concatenate([cont, pad16], axis=2)
+        routef = np.concatenate(
+            [route,
+             np.zeros((nv_pad * TABLE_ROWS, LANES - BLOCKS_PER_VROW),
+                      np.int8)], axis=1
+        )
+        return WELL(
+            q=jnp.asarray(q, dtype=jnp.int32),
+            amap=tile(amap, (f, TABLE_ROWS, LANES)),
+            lam=tile(lam_a, (m_rows, LANES)),
+            pid=tile(pid_a, (m_rows, LANES)),
+            rho=tile(
+                rho.reshape(nv_pad * TABLE_ROWS, max(n_passes, 1), LANES)
+                .transpose(1, 0, 2)
+                .reshape(max(n_passes, 1), t_count, m_rows, LANES)
+                .transpose(1, 0, 2, 3)
+                .copy(),
+                (max(n_passes, 1), m_rows, LANES),
+            ),
+            data=jnp.asarray(
+                data_a.reshape(t_count, m_rows, LANES), dtype=dtype
+            ),
+            cont=tile(
+                cont_full.transpose(1, 0, 2)
+                .reshape(mr, t_count, m_rows, LANES)
+                .transpose(1, 0, 2, 3)
+                .copy(),
+                (mr, m_rows, LANES),
+            ),
+            route=tile(routef, (m_rows, LANES)),
+            extra_rows=jnp.asarray(rows_of[ex], dtype=jnp.int32),
+            extra_cols=jnp.asarray(indices[ex], dtype=jnp.int32),
+            extra_vals=jnp.asarray(vals[ex], dtype=dtype),
+            shape=(int(n), int(ncols)),
+            nnz=int(nnz),
+            win_rows=int(win_rows),
+            x2d_rows=int(x2d_rows),
+            rows_per_vrow=int(g),
+            vregs_per_tile=int(f),
+            n_passes=int(max(n_passes, 1)),
+            merge_rounds=int(merge_rounds),
+            block_size=int(getattr(csr, "block_size", 1)),
+        )
