@@ -50,9 +50,44 @@ def measure_stream_bandwidth(jnp, jax, dtype, reps=200, trials=3):
     return bytes_moved / best
 
 
+def unstructured_fem_system(side, seed=0):
+    """Pseudo-unstructured 2-D FEM Laplacian: jittered grid points,
+    randomly renumbered, Delaunay-triangulated, then RCM-reordered —
+    the matrix class the reference's MFEM loader exists for
+    (reference utils.rs:269-350) and the hard case for TPU SpMV."""
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    n_pts = side * side
+    gx, gy = np.meshgrid(np.arange(side, dtype=np.float64),
+                         np.arange(side, dtype=np.float64))
+    pts = np.stack([gx.ravel(), gy.ravel()], 1)
+    pts += rng.uniform(-0.35, 0.35, pts.shape)
+    tri = Delaunay(pts[rng.permutation(n_pts)])
+    e = np.concatenate([tri.simplices[:, [0, 1]], tri.simplices[:, [1, 2]],
+                        tri.simplices[:, [2, 0]]])
+    i = np.concatenate([e[:, 0], e[:, 1]])
+    j = np.concatenate([e[:, 1], e[:, 0]])
+    a = sps.coo_matrix((np.ones(len(i)), (i, j)),
+                       shape=(n_pts, n_pts)).tocsr()
+    a.sum_duplicates()
+    a.data[:] = -1.0
+    a = (a + sps.diags(np.asarray(-a.sum(axis=1)).ravel() + 1e-8)).tocsr()
+    p = reverse_cuthill_mckee(a, symmetric_mode=True)
+    ap = a[p][:, p].tocsr()
+    ap.sort_indices()
+    return ap
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_amg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     # keep x64 off for the bench: the solve-phase dtype on TPU is f32
     from tpu_amg.sparse import ELL
@@ -68,11 +103,12 @@ def main():
     nnz = a.nnz
     x = jnp.ones((n,), dtype=jnp.float32)
 
-    def time_spmv(mat, reps=2000, trials=3):
+    def time_spmv(mat, reps=2000, trials=3, x0=None):
         """Operator-specialized executable: the matrix is closed over
         (a compile-time constant), letting XLA pre-stage/pin its layout —
         measured ~8x faster than passing it as an argument, and exactly
         how a production solve specializes to its system matrix."""
+        x0 = x if x0 is None else x0
 
         @jax.jit
         def spmv_n(v):
@@ -81,11 +117,11 @@ def main():
             u, _ = jax.lax.scan(body, v, None, length=reps)
             return u
 
-        _sync(spmv_n(x))  # warmup/compile
+        _sync(spmv_n(x0))  # warmup/compile
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            _sync(spmv_n(x))
+            _sync(spmv_n(x0))
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
@@ -116,9 +152,9 @@ def main():
     dt_dia = time_spmv(dia) if dia is not None else float("inf")
     print(f"# dia {dt_dia*1e3:.3f}ms; trying pallas...", file=sys.stderr, flush=True)
     dt_pallas = float("inf")
-    if dia is not None and os.environ.get("TPU_AMG_BENCH_PALLAS"):
-        # opt-in: the remote Mosaic compile service in this session is
-        # broken (see PARITY.md); enable when running on a direct TPU
+    if dia is not None and not os.environ.get("TPU_AMG_BENCH_NO_PALLAS"):
+        # hardware-validated round 2 (119.6 Gnnz/s on the v5e tunnel);
+        # kept opt-out in case a session's Mosaic service is down
         try:
             import dataclasses
 
@@ -168,6 +204,37 @@ def main():
         f"bw={bw/1e9:.0f}GB/s roofline={roofline_nnz_s/1e9:.2f}Gnnz/s",
         file=sys.stderr,
     )
+
+    # ---- unstructured FEM SpMV (WELL kernel, sparse/well.py) ---------
+    un = {}
+    try:
+        side = 1024 if on_tpu else 128
+        print("# building unstructured system...", file=sys.stderr, flush=True)
+        ap = unstructured_fem_system(side)
+        from tpu_amg.sparse.csr import CSR
+        from tpu_amg.sparse.well import WELL
+
+        well = WELL.from_csr(CSR.from_scipy(ap), dtype=jnp.float32)
+        print(f"# {well}", file=sys.stderr, flush=True)
+        xu = jnp.ones((ap.shape[0],), dtype=jnp.float32)
+        print("# timing unstructured spmv...", file=sys.stderr, flush=True)
+        dt_un = time_spmv(well, reps=400 if on_tpu else 3,
+                          trials=3 if on_tpu else 1, x0=xu)
+        un_roofline = ap.nnz * bw / (4 * ap.nnz + 8 * ap.shape[0])
+        un = {
+            "unstructured_gnnzs": round(ap.nnz / dt_un / 1e9, 4),
+            "unstructured_vs_target": round(
+                (ap.nnz / dt_un) / (0.70 * un_roofline), 4
+            ),
+        }
+        print(
+            f"# unstructured n={ap.shape[0]} nnz={ap.nnz} "
+            f"well={dt_un*1e6:.1f}us {un}",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# unstructured bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -175,6 +242,7 @@ def main():
                 "value": round(nnz_per_s / 1e9, 4),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(nnz_per_s / target, 4),
+                **un,
             }
         )
     )

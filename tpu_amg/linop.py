@@ -71,6 +71,9 @@ class SparseOperator(LinearOperator):
 
     ell: ELL
     ell_t: ELL | None = None
+    # optional WELL fast path for solve-loop SpMV (unstructured matrices
+    # on TPU; sparse/well.py).  ELL stays the multi-vector/setup path.
+    well: object | None = None
 
     @property
     def shape(self):
@@ -81,6 +84,8 @@ class SparseOperator(LinearOperator):
         return self.ell.block_size
 
     def mv(self, x):
+        if self.well is not None:
+            return self.well.mv(x)
         return self.ell.mv(x)
 
     def mm(self, xs):
@@ -108,14 +113,20 @@ class SparseOperator(LinearOperator):
         prefer_dia: bool = True,
         dia_max_diags: int = 32,
         dia_max_density: float = 3.0,
+        prefer_well: bool | None = None,
+        well_min_rows: int = 4096,
     ):
         """Pick the fastest device format: DIA when the matrix is
         diagonal-structured and reasonably dense along its diagonals
         (structured-grid stencils — gather-free SpMV, ~60x faster than
-        the ELL gather path on TPU), ELL otherwise.  ``dia_max_diags`` /
-        ``dia_max_density`` widen the DIA envelope (Galerkin coarse
-        operators of structured grids reach ~125 diagonals and are still
-        far better off as slice-FMAs than as gathers)."""
+        the ELL gather path on TPU); for unstructured-but-banded
+        matrices on TPU, a WELL sidecar (sparse/well.py) takes over the
+        solve-path SpMV (~60x faster than the ELL x-gather); ELL serves
+        everything else plus the multi-vector setup path.
+        ``dia_max_diags`` / ``dia_max_density`` widen the DIA envelope
+        (Galerkin coarse operators of structured grids reach ~125
+        diagonals and are still far better off as slice-FMAs than as
+        gathers)."""
         mat = None
         if prefer_dia and csr.is_square:
             from tpu_amg.sparse.dia import try_from_csr
@@ -131,12 +142,26 @@ class SparseOperator(LinearOperator):
             from tpu_amg.sparse.bsr import BSR
 
             mat = BSR.from_csr(csr, dtype=dtype)
+        well = None
         if mat is None:
+            if prefer_well is None:
+                prefer_well = (
+                    jax.devices()[0].platform == "tpu"
+                    and csr.nrows >= well_min_rows
+                    and jnp.dtype(dtype).itemsize == 4
+                )
+            if prefer_well:
+                from tpu_amg.sparse.well import WELL, WellUnsupported
+
+                try:
+                    well = WELL.from_csr(csr, dtype=dtype)
+                except WellUnsupported:
+                    well = None
             mat = ELL.from_csr(csr, dtype=dtype)
         ell_t = (
             ELL.from_csr(csr.transpose(), dtype=dtype) if with_transpose else None
         )
-        return SparseOperator(ell=mat, ell_t=ell_t)
+        return SparseOperator(ell=mat, ell_t=ell_t, well=well)
 
 
 @jax.tree_util.register_dataclass

@@ -82,19 +82,24 @@ def _dia_spmv_call(data, xp, offsets, n, lo, interpret=False):
         ),
     )
     kernel = functools.partial(_kernel, offsets=offsets, lo=lo, tile=TILE)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, n), data.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_diags * n,
-            bytes_accessed=data.size * data.dtype.itemsize
-            + xp.size * xp.dtype.itemsize
-            + n * data.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(xp, data)
+    # x64 must be off while tracing: Mosaic has no 64-bit types, and the
+    # globally-enabled x64 mode turns python-int block indices in the
+    # BlockSpec index maps into i64 constants (kernel then fails to
+    # legalize on hardware; interpret mode masked this in round 1).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, n), data.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_diags * n,
+                bytes_accessed=data.size * data.dtype.itemsize
+                + xp.size * xp.dtype.itemsize
+                + n * data.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(xp, data)
     return out[0]
 
 

@@ -50,6 +50,22 @@ class WellUnsupported(ValueError):
     """Matrix shape/structure outside what the WELL kernel handles."""
 
 
+def _sorted_unique_inverse(keys: np.ndarray):
+    """np.unique(keys, return_inverse=True) via argsort — this numpy
+    build's np.unique is ~50x slower than a sort on large int arrays."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new = np.empty(len(sk), dtype=bool)
+    if len(sk):
+        new[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=new[1:])
+    uniq = sk[new]
+    rank = np.cumsum(new) - 1
+    inv = np.empty(len(sk), dtype=np.int64)
+    inv[order] = rank
+    return uniq, inv
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WELL:
@@ -201,7 +217,7 @@ class WELL:
 
         # ---- dedup table per vreg ------------------------------------
         pair_key = v_e[keep] * np.int64(ncols) + indices[keep]
-        upairs, pair_inv = np.unique(pair_key, return_inverse=True)
+        upairs, pair_inv = _sorted_unique_inverse(pair_key)
         pv = upairs // ncols
         pc = upairs % ncols
         plam = pc % LANES
@@ -255,7 +271,7 @@ class WELL:
         lam_k = plam[kept_pairs].astype(np.int64)
         stk_k = stack[kept_pairs]
         trip = (vm_k * LANES + lam_k) * TABLE_ROWS + stk_k
-        utrip, trip_inv = np.unique(trip, return_inverse=True)
+        utrip, trip_inv = _sorted_unique_inverse(trip)
         tvl = utrip // TABLE_ROWS  # (vm, lane) key per distinct triple
         newg = np.concatenate([[True], tvl[1:] != tvl[:-1]])
         gstart = np.maximum.accumulate(
