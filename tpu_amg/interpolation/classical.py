@@ -62,13 +62,23 @@ class CompatibleRelaxationConfig:
 @dataclasses.dataclass
 class LeastSquaresConfig:
     """Defaults: search 3, depth_ls 2, max_interp 3, τ 1.2
-    (mod.rs:215-232)."""
+    (mod.rs:215-232).
+
+    ``max_candidates`` is a scaling deviation from the reference: the
+    reference enumerates every C-point within the search radius
+    (mod.rs:674-676), which on a 2-D stencil at ≥100k dofs means ~50+
+    candidates and C(50,3) ≈ 2·10⁴ subset solves *per point*.  We rank
+    the radius-ball candidates by strength-graph path weight and keep the
+    strongest ``max_candidates``, so every point takes the batched solve
+    path; subsets are still enumerated exhaustively within the kept set.
+    """
 
     search_depth: int = 3
     depth_ls: int = 2
     solver: str = "constrained"  # or "regularized"
     max_interp: int = 3
     tau_threshold: float = 1.2
+    max_candidates: int = 16
 
 
 @dataclasses.dataclass
@@ -415,8 +425,12 @@ def least_squares_interpolation(
     split = CoarseFineSplit(c_points, n)
     coarse_nn = near_null[split.c_points]
 
-    # candidate search: C-points within distance search_depth + depth_ls
-    reach = _reach_matrix(a, ls.search_depth + ls.depth_ls)
+    # candidate search: C-points reachable in the θ-filtered strength
+    # graph (the reference searches its AdjacencyList the same way,
+    # mod.rs:674-676), ranked by path weight and capped at
+    # ls.max_candidates so the subset solves stay batched at scale.
+    hops = max(1, -(-(ls.search_depth + ls.depth_ls) // ls.search_depth))
+    reach = _candidate_matrix(graph, hops)
     is_c = state == _C
 
     rows_p = list(split.c_points)
@@ -428,14 +442,20 @@ def least_squares_interpolation(
     # group non-C points by candidate count L so all LS subset solves
     # for a bucket run as ONE batched linear-algebra pass (TPU-first
     # replacement for the reference's rayon per-point loop,
-    # mod.rs:670-702); very large candidate sets fall back to the
-    # per-point path.  The grouping itself is vectorized numpy group-by
+    # mod.rs:670-702).  The grouping itself is vectorized numpy group-by
     # (no per-row Python loop — required for ≥100k-dof classical setup).
     indptr, indices = reach.indptr, reach.indices
-    is_c_ind = is_c[indices]
-    cand_flat = indices[is_c_ind]  # candidate C-points, row-major order
-    cs = np.concatenate([[0], np.cumsum(is_c_ind)])
-    cand_counts = cs[indptr[1:]] - cs[indptr[:-1]]  # (n,)
+    rows_r = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    sel = is_c[indices]
+    rr, cc, ww = rows_r[sel], indices[sel], reach.data[sel]
+    order = np.lexsort((-ww, rr))  # strongest-first within each row
+    rr, cc = rr[order], cc[order]
+    first = np.concatenate([[True], rr[1:] != rr[:-1]])
+    starts = np.maximum.accumulate(np.where(first, np.arange(len(rr)), 0))
+    keep_c = (np.arange(len(rr)) - starts) < ls.max_candidates
+    rr, cc = rr[keep_c], cc[keep_c]
+    cand_flat = cc  # candidate C-points, row-major order (rr sorted)
+    cand_counts = np.bincount(rr, minlength=n)
     cand_offsets = np.concatenate([[0], np.cumsum(cand_counts)[:-1]])
     eligible = (~is_c) & (cand_counts > 0)
 
@@ -489,16 +509,18 @@ def least_squares_interpolation(
     )
 
 
-def _reach_matrix(a: CSR, depth: int):
-    import scipy.sparse as sps
-
-    b = a.to_scipy().tocsr()
-    b.data = np.ones_like(b.data)
-    b.setdiag(1.0)
-    reach = b
-    for _ in range(depth - 1):
-        reach = reach @ b
-        reach.data = np.ones_like(reach.data)
+def _candidate_matrix(graph, hops: int):
+    """Weighted reachability over the symmetrized strength graph:
+    ``hops`` powers of the θ-filtered adjacency, weights summed across
+    path lengths (a ranking proxy for 'strongest nearby C-points')."""
+    sym = graph._sym().tocsr()
+    acc = sym.copy()
+    reach = sym.copy()
+    for _ in range(hops - 1):
+        acc = (acc @ sym).tocsr()
+        reach = (reach + acc).tocsr()
     reach.setdiag(0.0)
     reach.eliminate_zeros()
     return reach.tocsr()
+
+

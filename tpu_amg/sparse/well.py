@@ -167,10 +167,13 @@ class WELL:
         # ---- choose rows_per_vrow: largest g whose per-group block
         # demand fits the 16-block budget with tiny spill -------------
         g = None
-        for cand in range(BLOCKS_PER_VROW, 3, -1):
+        for cand in range(BLOCKS_PER_VROW, 0, -1):
             n_groups = -(-n // cand)
             pad_rows = n_groups * cand - n
-            demand = np.concatenate([nb_full, np.zeros(pad_rows, np.int64)])
+            demand = np.concatenate([
+                np.minimum(nb_full, BLOCKS_PER_VROW),
+                np.zeros(pad_rows, np.int64),
+            ])
             gsum = demand.reshape(n_groups, cand).sum(axis=1)
             over = np.maximum(gsum - BLOCKS_PER_VROW, 0).sum()
             if over * BLOCK <= max(max_spill_frac * nnz / 4, 0.0):
@@ -183,7 +186,7 @@ class WELL:
         # ---- per-row block allowance within each group budget -------
         group_of = rows_of // g  # group id per entry (== global vreg-row)
         n_groups = -(-n // g)
-        nb = nb_full.copy()
+        nb = np.minimum(nb_full, BLOCKS_PER_VROW)  # >16-block rows spill
         gsum = np.zeros(n_groups, dtype=np.int64)
         np.add.at(gsum, np.arange(n) // g, nb)
         for gi in np.flatnonzero(gsum > BLOCKS_PER_VROW):
