@@ -43,6 +43,10 @@ def main(rows_per_device: int = 65_536, reps: int = 30):
         except Exception:
             pass
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_amg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from tpu_amg.parallel import HaloELL, halo_spmv, make_solver_mesh
@@ -94,6 +98,88 @@ def main(rows_per_device: int = 65_536, reps: int = 30):
         )
     print(
         f"# weak scaling: {[(nd, f'{dt*1e3:.2f}ms', f'{eff:.2f}') for nd, dt, eff in results]}",
+        file=sys.stderr,
+    )
+    solver_weak_scaling()
+
+
+def solver_weak_scaling(iters: int = 40):
+    """Weak scaling of the PRODUCTION sharded solve: PCG preconditioned
+    by the halo-sharded V-cycle (the path shard_multigrid builds and
+    dryrun_multichip certifies), fixed work per device (rtol=0 forces
+    exactly ``iters`` iterations so times are comparable across mesh
+    sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_amg.hierarchy import HierarchyConfig, create_weights
+    from tpu_amg.interpolation import AggregationConfig, InterpolationConfig
+    from tpu_amg.linop import SparseOperator
+    from tpu_amg.parallel import (
+        make_solver_mesh,
+        shard_multigrid,
+        shard_operator,
+    )
+    from tpu_amg.parallel.dist import shard_vector
+    from tpu_amg.partition import PartitionerConfig
+    from tpu_amg.preconditioners.multigrid_builder import MultigridConfig
+    from tpu_amg.solvers import cg
+    from tpu_amg.utils.problems import poisson2d
+
+    n_avail = len(jax.devices())
+    sides = {1: 96, 2: 136, 4: 192, 8: 272}  # ~9.2k rows per device
+    results = []
+    for nd in [d for d in (1, 2, 4, 8) if d <= n_avail]:
+        side = sides[nd]
+        a = poisson2d(side)
+        nn = np.ones((a.nrows, 1))
+        hier = HierarchyConfig(
+            coarsest_dim=256,
+            max_levels=4,
+            interpolation_config=InterpolationConfig(
+                kind="aggregation",
+                aggregation=AggregationConfig(
+                    candidate_dimension=1,
+                    partitioner_config=PartitionerConfig(
+                        coarsening_factor=8.0, max_improvement_iters=5
+                    ),
+                ),
+            ),
+        ).build(a, nn, create_weights(a, nn))
+        mg = MultigridConfig(smoothing_steps=1, prefer_dia=True).build(hier)
+        mesh = make_solver_mesh(nd)
+        jax.set_mesh(mesh)
+        sop = shard_operator(
+            SparseOperator.from_csr(a, dtype=jnp.float64), mesh
+        )
+        mg_sh = shard_multigrid(mg, mesh, replicate_below=4096)
+        b = shard_vector(jnp.ones(a.nrows), mesh)
+
+        solve = jax.jit(
+            lambda a_, b_, m_: cg(a_, b_, m_, rtol=0.0, maxiter=iters)
+        )
+        _sync(solve(sop, b, mg_sh)[0])  # compile
+        t0 = time.perf_counter()
+        x, info = solve(sop, b, mg_sh)
+        _sync(x)
+        dt = (time.perf_counter() - t0) / iters
+        results.append((nd, a.nrows, dt))
+        eff = results[0][2] / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"solver_weak_scaling_{nd}dev",
+                    "value": round(dt * 1e3, 3),
+                    "unit": "ms/iteration",
+                    "n": a.nrows,
+                    "vs_baseline": round(eff / 0.8, 4),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        f"# solver weak scaling: "
+        f"{[(nd, n, f'{dt*1e3:.2f}ms') for nd, n, dt in results]}",
         file=sys.stderr,
     )
 

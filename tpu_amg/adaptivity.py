@@ -66,31 +66,52 @@ def _cached(key, make):
     return fn
 
 
-def _make_run(a: LinearOperator, m: LinearOperator):
+# Setup-phase executables take the operators as jit ARGUMENTS (pytrees),
+# not closed-over constants: (1) jax.jit's own cache then keys on the
+# operator *structure*, so the 5-component bootstrap compiles one sweep
+# for all same-shaped components; (2) constant-embedding the fine matrix
+# into the HLO breaks remote-compile setups at scale (the v5e tunnel
+# rejects >~40 MB programs with HTTP 413).  The SOLVE executables keep
+# operator specialization (solver.py) — there the ~8x SpMV win matters
+# and the program is built once per solve campaign.
+@partial(jax.jit, static_argnames=("iterations",))
+def _run(a, m, x0, iterations):
     from tpu_amg.ops.qr import orthonormalize
 
-    @partial(jax.jit, static_argnames=("iterations",))
-    def run(x0, iterations):
-        def body(_, x):
-            ex = x - m.mm(a.mm(x))
-            return orthonormalize(ex)
+    def body(_, x):
+        ex = x - m.mm(a.mm(x))
+        return orthonormalize(ex)
 
-        x = orthonormalize(x0)
-        x = jax.lax.fori_loop(0, iterations, body, x)
-        ax = a.mm(x)
-        w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
-        ev = x - m.mm(ax)
-        aev = a.mm(ev)
-        ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
-        return x, ev_norms / w_norms
+    x = orthonormalize(x0)
+    x = jax.lax.fori_loop(0, iterations, body, x)
+    ax = a.mm(x)
+    w_norms = jnp.sqrt(jnp.einsum("nk,nk->k", x, ax))
+    ev = x - m.mm(ax)
+    aev = a.mm(ev)
+    ev_norms = jnp.sqrt(jnp.einsum("nk,nk->k", ev, aev))
+    return x, ev_norms / w_norms
+
+
+def _make_run(a: LinearOperator, m: LinearOperator):
+    def run(x0, iterations):
+        return _run(a, m, x0, iterations)
 
     return run
 
 
+@jax.jit
+def _estep(a, c, x):
+    return x - c.mm(a.mm(x))
+
+
+@jax.jit
+def _amm(a, x):
+    return a.mm(x)
+
+
 def _make_estep(a: LinearOperator, c: LinearOperator):
-    @jax.jit
     def step(x):
-        return x - c.mm(a.mm(x))
+        return _estep(a, c, x)
 
     return step
 
@@ -114,7 +135,7 @@ def _smooth_loop_composite(a, m, x0, iterations: int):
         for c in order
     ]
     ortho = _cached(("ortho",), lambda: jax.jit(orthonormalize))
-    amm = _cached(("amm", id(a)), lambda: jax.jit(a.mm))
+    amm = partial(_amm, a)
 
     def eprop(x):
         for s in steps:
