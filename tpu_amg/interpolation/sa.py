@@ -76,6 +76,13 @@ class AggregationConfig:
                 self.partitioner_config,
                 coarsening_factor=self.partitioner_config.coarsening_factor
                 * ratio,
+                # the per-aggregate SVD needs agg_size*block_size >= cd;
+                # merge undersized aggregates instead of panicking like
+                # the reference (interpolation/mod.rs:756-761)
+                min_agg_size=max(
+                    self.partitioner_config.min_agg_size,
+                    -(-self.candidate_dimension // max(a.block_size, 1)),
+                ),
             )
             partition = p_config.build_partition(a, near_null, nn_weights)
         return smoothed_aggregation(

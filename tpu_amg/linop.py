@@ -136,12 +136,6 @@ class SparseOperator(LinearOperator):
                 dia.offsets
             ) * csr.nrows <= dia_max_density * max(csr.nnz, 1):
                 mat = dia
-        if mat is None and csr.block_size > 1 and csr.is_square:
-            # block-structured levels (SA coarse grids): block gathers
-            # amortize the gather count by block_size
-            from tpu_amg.sparse.bsr import BSR
-
-            mat = BSR.from_csr(csr, dtype=dtype)
         well = None
         if mat is None:
             if prefer_well is None:
@@ -157,6 +151,15 @@ class SparseOperator(LinearOperator):
                     well = WELL.from_csr(csr, dtype=dtype)
                 except WellUnsupported:
                     well = None
+        if mat is None and well is None and csr.block_size > 1 and csr.is_square:
+            # block-structured levels (SA coarse grids) without a WELL
+            # sidecar: block gathers amortize the gather count by
+            # block_size (still ~3x slower than WELL when both apply —
+            # bench_elasticity.py)
+            from tpu_amg.sparse.bsr import BSR
+
+            mat = BSR.from_csr(csr, dtype=dtype)
+        if mat is None:
             mat = ELL.from_csr(csr, dtype=dtype)
         ell_t = (
             ELL.from_csr(csr.transpose(), dtype=dtype) if with_transpose else None

@@ -65,6 +65,12 @@ class PartitionerConfig:
     # aggregates into disconnected components... not great"; scattered
     # aggregates widen P and densify the Galerkin coarse operators)
     split_disconnected: bool = True
+    # hard floor on aggregate size: aggregates below it are merged into
+    # their strongest-connected neighbor.  SA sets this to the candidate
+    # dimension (the per-aggregate SVD needs agg_size*block_size >= cd;
+    # the reference instead panics on too-small aggregates,
+    # interpolation/mod.rs:756-761)
+    min_agg_size: int = 0
     callback: Optional[Callable[[int, "ModularityPartitioner"], None]] = None
 
     def build(
@@ -407,6 +413,11 @@ class ModularityPartitioner:
         self.partition = Partition(node_to_agg)
         if self.config.split_disconnected:
             self.partition = self._split_disconnected(self.partition)
+        if self.config.min_agg_size > 1:
+            self.partition = self._enforce_min_size(
+                self.partition, int(self.config.min_agg_size)
+            )
+        if self.config.split_disconnected or self.config.min_agg_size > 1:
             self.agg_sizes = np.bincount(
                 self.partition.node_to_agg, weights=self.node_weights,
                 minlength=self.partition.num_aggs,
@@ -441,11 +452,20 @@ class ModularityPartitioner:
             n_comp - partition.num_aggs,
         )
 
-        comp_sizes = np.bincount(labels, minlength=n_comp)
         min_size = max(2, int(np.ceil(self.config.coarsening_factor / 2.0)))
+        return Partition(
+            self._merge_small_labels(labels, rows, cols, w, min_size)
+        )
+
+    def _merge_small_labels(self, labels, rows, cols, w, min_size):
+        """Merge every label-group smaller than ``min_size`` into the
+        neighboring group it connects to most strongly (union-find over
+        real graph edges, so merged groups stay connected)."""
+        n_comp = int(labels.max(initial=-1)) + 1
+        comp_sizes = np.bincount(labels, minlength=n_comp)
         small = comp_sizes < min_size
         if not small.any():
-            return Partition(labels)
+            return labels
 
         # strongest-connected neighboring component per small component
         lr, lc = labels[rows], labels[cols]
@@ -476,7 +496,29 @@ class ModularityPartitioner:
             if rs != rd:
                 parent[rs] = rd
         roots = np.array([find(int(c)) for c in range(n_comp)])
-        return Partition(roots[labels])
+        return roots[labels]
+
+    def _enforce_min_size(
+        self, partition: Partition, min_size: int
+    ) -> Partition:
+        """Merge every aggregate below ``min_size`` nodes into its
+        strongest-connected neighbor (iterated: merging two small
+        aggregates can still be small).  Guarantees SA's per-aggregate
+        SVD is well-posed without the reference's panic
+        (interpolation/mod.rs:756-761)."""
+        rows, cols, w = self.base_graph.edges()
+        for _ in range(10):
+            labels = partition.node_to_agg
+            sizes = np.bincount(labels, minlength=partition.num_aggs)
+            if (sizes >= min_size).all() or partition.num_aggs <= 1:
+                return partition
+            merged = Partition(
+                self._merge_small_labels(labels, rows, cols, w, min_size)
+            )
+            if merged.num_aggs == partition.num_aggs:
+                break  # isolated small aggregates with no outside edges
+            partition = merged
+        return partition
 
     # ------------------------------------------------------------------
     # metrics (modularity.rs:236-287)
