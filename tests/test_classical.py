@@ -138,15 +138,24 @@ class TestBatchedLS:
         w_all, set_all, size_all = _ls_interp_weights_batch(
             vf, vc, d, 3, 1.2, "constrained"
         )
+        def interp_err(wp, sp, p):
+            approx = wp @ vc[p][sp]
+            return float((vf[p] - approx) @ (d * (vf[p] - approx)))
+
         for p in range(P):
             w_ref, set_ref, _ = ls_interp_weights(
                 vf[p], vc[p], d, 3, 1.2, "constrained"
             )
             assert size_all[p] == len(set_ref)
-            np.testing.assert_allclose(
-                w_all[p, : size_all[p]], w_ref, atol=1e-10
+            # k=3 with 5 candidates: several subsets interpolate exactly
+            # (err ~ ±1e-16), so the argmin tie-breaks on roundoff and
+            # batched/per-point may legitimately pick different subsets —
+            # compare the achieved interpolation error, not the choice
+            e_batch = interp_err(
+                w_all[p, : size_all[p]], set_all[p, : size_all[p]], p
             )
-            assert set_all[p, : size_all[p]].tolist() == set_ref
+            e_ref = interp_err(np.asarray(w_ref), np.asarray(set_ref), p)
+            assert abs(e_batch - e_ref) < 1e-9 * (1 + abs(e_ref))
 
     def test_batch_matches_regularized(self):
         from tpu_amg.interpolation.classical import (

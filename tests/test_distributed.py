@@ -28,8 +28,12 @@ from tpu_amg.utils.problems import poisson1d, poisson2d
 def mesh():
     assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
     m = make_solver_mesh(8)
-    jax.set_mesh(m)  # mesh context for sharded gathers (ell._row_gather)
-    return m
+    # mesh context for sharded gathers (ell._row_gather); jax.set_mesh
+    # returns a context object — exit it on teardown so later test
+    # modules don't trace plain arrays under an active abstract mesh
+    ctx = jax.set_mesh(m)
+    yield m
+    ctx.__exit__(None, None, None)
 
 
 class TestShardedSpMV:

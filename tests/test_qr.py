@@ -24,7 +24,7 @@ class TestCholeskyQR:
 
     def test_sharded_matches_unsharded_span(self):
         mesh = make_solver_mesh(8)
-        jax.set_mesh(mesh)
+        ctx = jax.set_mesh(mesh)  # exit below: don't leak into other modules
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(256, 4)))
         xs = shard_vector(x, mesh)
@@ -38,6 +38,7 @@ class TestCholeskyQR:
             np.ones(4),
             atol=1e-8,
         )
+        ctx.__exit__(None, None, None)
 
     def test_ill_conditioned_still_orthonormal(self):
         rng = np.random.default_rng(2)

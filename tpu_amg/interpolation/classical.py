@@ -231,26 +231,86 @@ def _validate_regularized(p: np.ndarray) -> np.ndarray:
     return finite & big & rel
 
 
+def _spd_solve_small(gram: np.ndarray, rhs: np.ndarray):
+    """Batched solve G x = rhs for r ≤ 3 via closed-form inverses (pure
+    vectorized arithmetic — the eigh-based pseudo-inverse costs ~1000x
+    more per system and dominated classical setup).  Returns (x, ok)
+    where ok flags rows whose residual certifies the solve; callers send
+    ~ok rows to the eigh pseudo-inverse fallback (pinv-with-cutoff
+    semantics preserved exactly where it matters)."""
+    s, r = rhs.shape
+    g = gram
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        if r == 1:
+            x = rhs / g[:, 0, 0:1]
+        elif r == 2:
+            det = g[:, 0, 0] * g[:, 1, 1] - g[:, 0, 1] * g[:, 1, 0]
+            x = np.empty_like(rhs)
+            x[:, 0] = (g[:, 1, 1] * rhs[:, 0] - g[:, 0, 1] * rhs[:, 1]) / det
+            x[:, 1] = (g[:, 0, 0] * rhs[:, 1] - g[:, 1, 0] * rhs[:, 0]) / det
+        elif r == 3:
+            a, b, c = g[:, 0, 0], g[:, 0, 1], g[:, 0, 2]
+            d, e, f = g[:, 1, 0], g[:, 1, 1], g[:, 1, 2]
+            h, i, j = g[:, 2, 0], g[:, 2, 1], g[:, 2, 2]
+            A = e * j - f * i
+            B = -(d * j - f * h)
+            C = d * i - e * h
+            det = a * A + b * B + c * C
+            x = np.empty_like(rhs)
+            r0, r1, r2 = rhs[:, 0], rhs[:, 1], rhs[:, 2]
+            x[:, 0] = (A * r0 - (b * j - c * i) * r1 + (b * f - c * e) * r2) / det
+            x[:, 1] = (B * r0 + (a * j - c * h) * r1 - (a * f - c * d) * r2) / det
+            x[:, 2] = (C * r0 - (a * i - b * h) * r1 + (a * e - b * d) * r2) / det
+        else:
+            return _batched_pinv_solve(gram, rhs), np.ones(s, dtype=bool)
+    # residual certification: ‖Gx − rhs‖∞ ≤ tol·(‖rhs‖∞ + ‖G‖‖x‖)
+    gx = np.einsum("sij,sj->si", g, x)
+    scale = np.abs(rhs).max(axis=1) + np.abs(g).max(axis=(1, 2)) * np.abs(
+        x
+    ).max(axis=1)
+    ok = np.isfinite(x).all(axis=1) & (
+        np.abs(gx - rhs).max(axis=1) <= 1e-9 * np.maximum(scale, 1e-300)
+    )
+    return x, ok
+
+
+def _solve_lin(gram: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Closed-form solve with eigh-pseudo-inverse fallback on rows the
+    residual check rejects (singular/ill-conditioned Grams)."""
+    x, ok = _spd_solve_small(gram, rhs)
+    bad = np.flatnonzero(~ok)
+    if len(bad):
+        x[bad] = _batched_pinv_solve(gram[bad], rhs[bad])
+    return x
+
+
 def _solve_subsets_constrained(gram_ff, gf, btb):
     """Constrained QP per subset: pinv candidate, then Σ=1 KKT candidate
     (reference constrained_subset_qp, mod.rs:387-431).  Returns
-    (weights (s, r), err (s,), valid (s,))."""
+    (weights (s, r), err (s,), valid (s,)).
+
+    The KKT system [[G, 1], [1ᵀ, 0]][p; λ] = [g; 1] is solved in
+    bordered form (p = y_g − λ·y_1 with y_g = G⁻¹g, y_1 = G⁻¹1 and
+    λ = (1ᵀy_g − 1)/(1ᵀy_1)) and only for the subsets whose
+    unconstrained candidate failed validation — the reference takes the
+    same pinv-first shortcut per subset (mod.rs:398-414)."""
     s, r = gf.shape
-    p_a = _batched_pinv_solve(gram_ff, gf)
+    p_a = _solve_lin(gram_ff, gf)
     ok_a = _validate_constrained(p_a)
 
-    # KKT: [[G, 1], [1ᵀ, 0]] [p; λ] = [g; 1]
-    kkt = np.ones((s, r + 1, r + 1))
-    kkt[:, :r, :r] = gram_ff
-    kkt[:, r, r] = 0.0
-    rhs = np.ones((s, r + 1))
-    rhs[:, :r] = gf
-    sol = _batched_pinv_solve(kkt, rhs)
-    p_b = sol[:, :r]
-    ok_b = _validate_constrained(p_b)
-
-    p = np.where(ok_a[:, None], p_a, p_b)
-    valid = ok_a | ok_b
+    p = p_a.copy()
+    valid = ok_a.copy()
+    need = np.flatnonzero(~ok_a)
+    if len(need):
+        g_n = gram_ff[need]
+        y_g = p_a[need]
+        y_1 = _solve_lin(g_n, np.ones((len(need), r)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (y_g.sum(axis=1) - 1.0) / y_1.sum(axis=1)
+        p_b = y_g - lam[:, None] * y_1
+        ok_b = _validate_constrained(p_b) & np.isfinite(lam)
+        p[need] = np.where(ok_b[:, None], p_b, y_g)
+        valid[need] = ok_b
     err = _eval_err(gram_ff, p, gf, btb)
     return p, err, valid
 
@@ -261,7 +321,7 @@ def _solve_subsets_regularized(gram_ff, gf, btb):
     r = gf.shape[1]
     lam = RIDGE_ETA * np.linalg.eigvalsh(gram_ff)[:, -1]
     reg = gram_ff + lam[:, None, None] * np.eye(r)
-    p = _batched_pinv_solve(reg, gf)
+    p = _solve_lin(reg, gf)
     valid = _validate_regularized(p)
     err = _eval_err(gram_ff, p, gf, btb)
     return p, err, valid

@@ -94,6 +94,8 @@ class SparseOperator(LinearOperator):
     def rmv(self, x):
         if self.ell_t is not None:
             return self.ell_t.mv(x)
+        if hasattr(self.ell, "rmv"):  # BandedDense: native transpose apply
+            return self.ell.rmv(x)
         if self.shape[0] != self.shape[1]:
             raise ValueError("rmv on rectangular SparseOperator without ell_t")
         return self.ell.mv(x)
@@ -101,6 +103,8 @@ class SparseOperator(LinearOperator):
     def rmm(self, xs):
         if self.ell_t is not None:
             return self.ell_t.mm(xs)
+        if hasattr(self.ell, "rmm"):
+            return self.ell.rmm(xs)
         if self.shape[0] != self.shape[1]:
             raise ValueError("rmm on rectangular SparseOperator without ell_t")
         return self.ell.mm(xs)
@@ -127,44 +131,102 @@ class SparseOperator(LinearOperator):
         (Galerkin coarse operators of structured grids reach ~125
         diagonals and are still far better off as slice-FMAs than as
         gathers)."""
-        mat = None
-        if prefer_dia and csr.is_square:
-            from tpu_amg.sparse.dia import try_from_csr
-
-            dia = try_from_csr(csr, dtype=dtype, max_diags=dia_max_diags)
-            if dia is not None and len(
-                dia.offsets
-            ) * csr.nrows <= dia_max_density * max(csr.nnz, 1):
-                mat = dia
-        well = None
-        if mat is None:
-            if prefer_well is None:
-                prefer_well = (
-                    jax.devices()[0].platform == "tpu"
-                    and csr.nrows >= well_min_rows
-                    and jnp.dtype(dtype).itemsize == 4
-                )
-            if prefer_well:
-                from tpu_amg.sparse.well import WELL, WellUnsupported
-
-                try:
-                    well = WELL.from_csr(csr, dtype=dtype)
-                except WellUnsupported:
-                    well = None
-        if mat is None and well is None and csr.block_size > 1 and csr.is_square:
-            # block-structured levels (SA coarse grids) without a WELL
-            # sidecar: block gathers amortize the gather count by
-            # block_size (still ~3x slower than WELL when both apply —
-            # bench_elasticity.py)
-            from tpu_amg.sparse.bsr import BSR
-
-            mat = BSR.from_csr(csr, dtype=dtype)
-        if mat is None:
-            mat = ELL.from_csr(csr, dtype=dtype)
-        ell_t = (
-            ELL.from_csr(csr.transpose(), dtype=dtype) if with_transpose else None
+        mat, well = _pick_format(
+            csr, dtype, prefer_dia, dia_max_diags, dia_max_density,
+            prefer_well, well_min_rows,
         )
+        ell_t = None
+        if with_transpose:
+            ell_t, _ = _pick_format(
+                csr.transpose(), dtype, prefer_dia, dia_max_diags,
+                dia_max_density, False, well_min_rows,
+            )
         return SparseOperator(ell=mat, ell_t=ell_t, well=well)
+
+
+def _pick_format(
+    csr: CSR,
+    dtype,
+    prefer_dia: bool,
+    dia_max_diags: int,
+    dia_max_density: float,
+    prefer_well,
+    well_min_rows: int,
+):
+    """Device-format dispatch (the reference's ``dyn_op`` analog,
+    core.rs:88-92, chosen by measured TPU throughput):
+
+    1. DIA slice-FMA for diagonal-structured square matrices (fastest,
+       gather-free: 145-240 Gnnz/s measured);
+    2. BandedDense MXU slabs for dense-row window-contained operators
+       (smoothed-SA transfers: R rows hold 100s-1000s of entries and are
+       ~dense within their column window — as ELL gathers a single such
+       apply measured 39 ms; as batched matmuls it is memory-speed);
+    3. WELL windowed-gather Pallas kernel for unstructured banded
+       matrices on TPU (6-7 Gnnz/s vs 0.14 for ELL gathers);
+    4. BSR block gathers for block-structured levels;
+    5. ELL gather fallback (also always kept for the multi-vector
+       setup path when WELL is the mv path).
+    """
+    if prefer_dia and csr.is_square:
+        from tpu_amg.sparse.dia import try_from_csr
+
+        dia = try_from_csr(csr, dtype=dtype, max_diags=dia_max_diags)
+        if dia is not None and len(
+            dia.offsets
+        ) * csr.nrows <= dia_max_density * max(csr.nnz, 1):
+            return dia, None
+
+    mean_nnz = csr.nnz / max(csr.nrows, 1)
+    if mean_nnz >= 24.0 and csr.nnz > 0:
+        from tpu_amg.sparse.banded import BandedDense, BandedUnsupported
+
+        # generous inflation cap: even 16x-padded dense slabs stream at
+        # memory speed, while the ELL-gather alternative for dense-row
+        # operators is ~3 orders of magnitude slower (MEASURED.md); the
+        # absolute byte cap keeps huge levels from blowing HBM
+        max_inf = min(
+            16.0, (1 << 30) / max(csr.nnz * jnp.dtype(dtype).itemsize, 1)
+        )
+        # dense rows get their own window (a tile straddling two
+        # far-apart aggregates would otherwise blow the window cap);
+        # sparser rows share tiles to amortize the window gather
+        rpt = int(max(1, min(16, 1024 // max(mean_nnz, 1))))
+        try:
+            return (
+                BandedDense.from_csr(
+                    csr, dtype=dtype, max_inflation=max_inf,
+                    rows_per_tile=rpt,
+                ),
+                None,
+            )
+        except BandedUnsupported as e:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "BandedDense rejected for %s (nnz/row %.0f): %s",
+                csr.shape, mean_nnz, e,
+            )
+
+    well = None
+    if prefer_well is None:
+        prefer_well = (
+            jax.devices()[0].platform == "tpu"
+            and csr.nrows >= well_min_rows
+            and jnp.dtype(dtype).itemsize == 4
+        )
+    if prefer_well:
+        from tpu_amg.sparse.well import WELL, WellUnsupported
+
+        try:
+            well = WELL.from_csr(csr, dtype=dtype)
+        except WellUnsupported:
+            well = None
+    if well is None and csr.block_size > 1 and csr.is_square:
+        from tpu_amg.sparse.bsr import BSR
+
+        return BSR.from_csr(csr, dtype=dtype), None
+    return ELL.from_csr(csr, dtype=dtype), well
 
 
 @jax.tree_util.register_dataclass
@@ -222,6 +284,36 @@ class ScaledIdentity(LinearOperator):
 
     def mm(self, xs):
         return self.scale * xs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TransposeOperator(LinearOperator):
+    """Aᵀ as an operator view — used for restrictions applied through
+    the prolongation's storage (R = Pᵀ, interpolation/mod.rs:824-827)
+    when R's own rows are too wide for any gather-free format."""
+
+    base: LinearOperator
+
+    @property
+    def shape(self):
+        return (self.base.shape[1], self.base.shape[0])
+
+    @property
+    def block_size(self):
+        return getattr(self.base, "block_size", 1)
+
+    def mv(self, x):
+        return self.base.rmv(x)
+
+    def mm(self, xs):
+        return self.base.rmm(xs)
+
+    def rmv(self, x):
+        return self.base.mv(x)
+
+    def rmm(self, xs):
+        return self.base.mm(xs)
 
 
 @jax.tree_util.register_dataclass

@@ -195,6 +195,29 @@ def _shard_block_smoother(
     )
 
 
+def _as_ell_operator(op):
+    """Normalize single-chip fast formats back to ELL for sharding.
+
+    BandedDense (MXU dense slabs) and R-as-Pᵀ TransposeOperator views
+    are single-chip layouts; the distributed path re-derives the CSR and
+    shards it as (halo) ELL."""
+    from tpu_amg.linop import TransposeOperator
+    from tpu_amg.sparse.banded import BandedDense
+
+    if isinstance(op, TransposeOperator):
+        base = op.base
+        if isinstance(base, SparseOperator) and isinstance(
+            base.ell, BandedDense
+        ):
+            return SparseOperator(
+                ell=ELL.from_csr(base.ell.to_csr().transpose())
+            )
+        return op
+    if isinstance(op, SparseOperator) and isinstance(op.ell, BandedDense):
+        return SparseOperator(ell=ELL.from_csr(op.ell.to_csr()))
+    return op
+
+
 def shard_multigrid(
     mg: Multigrid,
     mesh: Mesh,
@@ -261,6 +284,7 @@ def shard_ell_rect(
     """Shard a rectangular transfer operator: halo form when both dims
     divide evenly and the band holds, row-sharded when rows divide,
     otherwise replicated."""
+    op = _as_ell_operator(op)
     n_dev = mesh.shape[axis]
     ell = try_shard_halo(op.ell, mesh, axis) if use_halo else None
     if ell is None:

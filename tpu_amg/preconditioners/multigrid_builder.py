@@ -119,12 +119,30 @@ class MultigridConfig:
                     dia_max_diags=160, dia_max_density=8.0,
                 )
             smoother = self._build_smoother(a, nn, w, a_op)
-            r_op = SparseOperator.from_csr(
-                hierarchy.get_restriction(lvl), dtype=self.dtype
-            )
             p_op = SparseOperator.from_csr(
                 hierarchy.get_interpolation(lvl), dtype=self.dtype
             )
+            r_op = SparseOperator.from_csr(
+                hierarchy.get_restriction(lvl), dtype=self.dtype
+            )
+            # Smoothed-SA restrictions have rows = 2/3-D aggregate blobs
+            # whose 1-D column span defeats every windowed format; when R
+            # landed on the ELL gather path but P is window-dense, apply
+            # R as Pᵀ through P's slabs instead (R = Pᵀ exactly,
+            # reference interpolation/mod.rs:824-827): one ELL-gathered
+            # restriction measured 39 ms vs µs for the transposed MXU
+            # path at 24k-dof elasticity.
+            from tpu_amg.linop import TransposeOperator
+            from tpu_amg.sparse.banded import BandedDense
+            from tpu_amg.sparse.ell import ELL as _ELL
+
+            if (
+                isinstance(r_op.ell, _ELL)
+                and r_op.well is None
+                and r_op.ell.k >= 64
+                and isinstance(p_op.ell, BandedDense)
+            ):
+                r_op = TransposeOperator(base=p_op)
             n_coarse = hierarchy.get_op(lvl + 1).nrows
             if (
                 r_op.shape != (n_coarse, a.nrows)

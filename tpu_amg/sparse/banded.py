@@ -1,0 +1,267 @@
+"""BandedDense — dense-slab storage over selected column blocks, the MXU
+path for gather-hostile sparse operators (smoothed-SA transfers, above
+all).
+
+Smoothing the tentative prolongation densifies it: P columns (and hence
+R rows) grow to hundreds-or-thousands of entries over an aggregate's
+smeared support (reference interpolation/mod.rs:927-1028 does the same;
+its CPU CSR kernel doesn't care).  On TPU, a row-padded ELL of such an
+operator is catastrophic — a 1518×24000 restriction with k=3867 costs
+~39 ms/apply in XLA gathers, 95% of a measured V-cycle.
+
+Those rows are *block-dense*: their support concentrates in a modest
+number of 128-column blocks (for 3-D problems the support is a stack of
+per-plane runs, so a single contiguous window does NOT work — the 1-D
+span of a 3-D blob grows like n^(2/3)).  So: group consecutive rows into
+tiles, give each tile its set of touched 128-column blocks (q lists the
+block ids), and store the tile as a dense (rows, G·128) slab over the
+selected blocks.  Apply is then
+
+    y[tile] = slab[tile] @ x2d[q[tile]].ravel()
+
+— one efficient XLA row-gather (G rows of 512 B per tile) plus one
+batched MXU matmul.  No per-nonzero gathers, no Pallas needed; storage
+≈ nnz for block-dense rows (gated by ``max_inflation`` otherwise).
+The transpose apply (restriction as Pᵀ) is the same contraction followed
+by a 128-wide row scatter-add.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+class BandedUnsupported(ValueError):
+    """Rows not block-dense enough for dense-slab storage."""
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedDense:
+    """Tile-blocked dense matrix; see module docstring.
+
+    slabs: (T, R, G*128) — dense rows per tile (zero-padded).
+    q:     (T, G)        — selected 128-column block ids per tile.
+    """
+
+    slabs: jax.Array
+    q: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    x2d_rows: int = dataclasses.field(metadata=dict(static=True))
+    bw: int = dataclasses.field(default=LANES, metadata=dict(static=True))
+    block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.slabs.dtype
+
+    def _windows(self, x: jax.Array) -> jax.Array:
+        t, r, w = self.slabs.shape
+        pad = self.x2d_rows * self.bw - x.shape[0]
+        x2d = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)).reshape(
+            (self.x2d_rows, self.bw) + x.shape[1:]
+        )
+        wins = jnp.take(x2d, self.q.reshape(-1), axis=0)
+        return wins.reshape((t, w) + x.shape[1:])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        wins = self._windows(x.astype(self.dtype))
+        y = jnp.einsum(
+            "trw,tw->tr", self.slabs, wins,
+            preferred_element_type=self.dtype,
+        )
+        return y.reshape(-1)[: self.nrows]
+
+    def mm(self, xs: jax.Array) -> jax.Array:
+        wins = self._windows(xs.astype(self.dtype))  # (T, W, m)
+        y = jnp.einsum(
+            "trw,twm->trm", self.slabs, wins,
+            preferred_element_type=self.dtype,
+        )
+        return y.reshape(-1, xs.shape[1])[: self.nrows]
+
+    def __call__(self, x):
+        return self.mm(x) if x.ndim > 1 else self.mv(x)
+
+    # transpose application: y = Aᵀx.  This is how restrictions run when
+    # R rows are 3-D blobs: R = Pᵀ exactly (reference
+    # interpolation/mod.rs:824-827) and P — fine-row-major — IS
+    # block-dense, so apply P's slabs backwards: per tile one MXU
+    # contraction then a 128-wide row scatter-add into the output.
+    def rmv(self, x: jax.Array) -> jax.Array:
+        t, r, w = self.slabs.shape
+        xp = jnp.pad(x.astype(self.dtype), (0, t * r - x.shape[0]))
+        contrib = jnp.einsum(
+            "trw,tr->tw", self.slabs, xp.reshape(t, r),
+            preferred_element_type=self.dtype,
+        )
+        out2d = jnp.zeros((self.x2d_rows, self.bw), dtype=self.dtype)
+        out2d = out2d.at[self.q.reshape(-1)].add(
+            contrib.reshape(-1, self.bw)
+        )
+        return out2d.reshape(-1)[: self.ncols]
+
+    def rmm(self, xs: jax.Array) -> jax.Array:
+        t, r, w = self.slabs.shape
+        m = xs.shape[1]
+        xp = jnp.pad(
+            xs.astype(self.dtype), ((0, t * r - xs.shape[0]), (0, 0))
+        )
+        contrib = jnp.einsum(
+            "trw,trm->twm", self.slabs, xp.reshape(t, r, m),
+            preferred_element_type=self.dtype,
+        )
+        out = jnp.zeros((self.x2d_rows, self.bw, m), dtype=self.dtype)
+        out = out.at[self.q.reshape(-1)].add(
+            contrib.reshape(-1, self.bw, m)
+        )
+        return out.reshape(-1, m)[: self.ncols]
+
+    # interface parity with the other device formats (square use)
+    def diagonal(self) -> jax.Array:
+        t, r, w = self.slabs.shape
+        rows = jnp.arange(t * r).reshape(t, r)
+        blk = rows // self.bw  # global block of the diagonal column
+        match = self.q[:, None, :] == blk[:, :, None]  # (T, R, G)
+        j = jnp.argmax(match, axis=2)  # first matching block slot
+        valid = jnp.any(match, axis=2)
+        pos = j * self.bw + rows % self.bw
+        d = jnp.take_along_axis(self.slabs, pos[:, :, None], axis=2)[:, :, 0]
+        return jnp.where(valid, d, 0.0).reshape(-1)[: self.nrows]
+
+    def abs_row_sums(self) -> jax.Array:
+        return jnp.sum(jnp.abs(self.slabs), axis=2).reshape(-1)[: self.nrows]
+
+    def row_sums(self) -> jax.Array:
+        return jnp.sum(self.slabs, axis=2).reshape(-1)[: self.nrows]
+
+    def to_csr(self):
+        """Host CSR reconstruction (used when a distributed setup needs
+        to re-format transfers for halo sharding)."""
+        from tpu_amg.sparse.csr import CSR
+
+        s = np.asarray(self.slabs)
+        qn = np.asarray(self.q)
+        tt, rr, ww = np.nonzero(s)
+        t, r, w = self.slabs.shape
+        rows = tt * r + rr
+        cols = qn[tt, ww // self.bw] * self.bw + ww % self.bw
+        keep = (rows < self.nrows) & (cols < self.ncols)
+        return CSR.from_coo(
+            rows[keep], cols[keep], s[tt, rr, ww][keep], self.shape,
+            block_size=self.block_size,
+        )
+
+    def __repr__(self):
+        t, r, w = self.slabs.shape
+        dense = t * r * w
+        return (
+            f"BandedDense(shape={self.shape}, nnz={self.nnz}, tiles={t}, "
+            f"rows/tile={r}, blocks/tile={w // self.bw} (bw={self.bw}, "
+            f"x{dense / max(self.nnz, 1):.1f} slots), dtype={self.dtype})"
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_csr(
+        csr,
+        dtype=jnp.float32,
+        rows_per_tile: int = 8,
+        max_blocks: int = 2048,
+        max_inflation: float = 8.0,
+        bw: int = None,
+    ) -> "BandedDense":
+        """``bw`` is the column-block granularity: 128 gathers the widest
+        rows but 3-D supports (short per-plane runs) are only dense at
+        16-32; when None, the cheapest of {128, 32, 16} is chosen."""
+        n, ncols = csr.shape
+        indptr = np.asarray(csr.indptr)
+        indices = np.asarray(csr.indices)
+        vals = np.asarray(csr.data)
+        nnz = len(indices)
+        if nnz == 0:
+            raise BandedUnsupported("empty matrix")
+        r = rows_per_tile
+        t = -(-n // r)
+        nnz_row = np.diff(indptr)
+        rows_of = np.repeat(np.arange(n), nnz_row)
+        tid = rows_of // r
+
+        if bw is None:
+            # pick the block width minimizing slab bytes (gather rows
+            # narrower than 128 are less efficient — prefer wider on a
+            # near-tie by scanning from wide to narrow)
+            best, best_cost = None, None
+            for cand in (LANES, 32, 16):
+                kk = tid.astype(np.int64) * (-(-ncols // cand)) + (
+                    indices // cand
+                )
+                gg = int(
+                    np.bincount(
+                        np.unique(kk) // (-(-ncols // cand)), minlength=t
+                    ).max(initial=1)
+                )
+                cost = t * r * gg * cand
+                if best_cost is None or cost < 0.7 * best_cost:
+                    best, best_cost = cand, cost
+            bw = best
+
+        # distinct bw-wide column blocks per tile (sorted, deduped)
+        nblk = -(-ncols // bw)
+        key = tid.astype(np.int64) * nblk + indices // bw
+        ukey = np.unique(key)
+        ut, ub = ukey // nblk, ukey % nblk
+        counts = np.bincount(ut, minlength=t)
+        g = int(counts.max(initial=1))
+        if g > max_blocks:
+            raise BandedUnsupported(
+                f"tile touches {g} column blocks (cap {max_blocks})"
+            )
+        if t * r * g * bw > max_inflation * max(nnz, 1):
+            raise BandedUnsupported(
+                f"dense slabs would be "
+                f"{t * r * g * bw / max(nnz, 1):.1f}x nnz (bw={bw})"
+            )
+        # q: per-tile block list, padded with the tile's first block
+        # (padding slots multiply against zero slab columns)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot_of = np.arange(len(ukey)) - starts[ut]
+        firsts = np.zeros(t, dtype=np.int64)
+        has = counts > 0
+        firsts[has] = ub[starts[has]]
+        q = np.repeat(firsts[:, None], g, axis=1)
+        q[ut, slot_of] = ub
+
+        # entry → slab position: find its block's slot within the tile
+        ekey = tid.astype(np.int64) * nblk + indices // bw
+        slot = np.searchsorted(ukey, ekey)
+        local_slot = slot - starts[tid]
+        slabs = np.zeros((t, r, g * bw), dtype=np.float64)
+        slabs[tid, rows_of % r, local_slot * bw + indices % bw] = vals
+
+        x2d_rows = nblk
+        return BandedDense(
+            slabs=jnp.asarray(slabs, dtype=dtype),
+            q=jnp.asarray(q, dtype=jnp.int32),
+            shape=(int(n), int(ncols)),
+            nnz=int(nnz),
+            x2d_rows=int(x2d_rows),
+            bw=int(bw),
+            block_size=int(getattr(csr, "block_size", 1)),
+        )
