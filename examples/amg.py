@@ -79,6 +79,10 @@ def parse_args():
     p.add_argument("--viz-out", type=str, default=None,
                    help="write hierarchy viz JSON here (reference dumps "
                         "data/hierarchy_viz.json, main.rs:384-387)")
+    p.add_argument("--skip-sli", action="store_true",
+                   help="skip the stationary-iteration solve (prints -1)")
+    p.add_argument("--skip-enorm", action="store_true",
+                   help="skip the ||E||_A power estimate (prints nan)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p.parse_args()
 
@@ -303,14 +307,16 @@ def main():
     k_guess, key = jax.random.split(key)
     x0 = jax.random.normal(k_guess, (a.nrows,), dtype=jnp.float64)
     report = test_solver(
-        op, pc, jnp.asarray(rhs), x0, rtol=args.tol, maxiter=args.max_iters
+        op, pc, jnp.asarray(rhs), x0, rtol=args.tol, maxiter=args.max_iters,
+        run_sli=not args.skip_sli,
     )
     print(
         f"solve: {time.time() - t_solve:.1f}s  cg_converged={report.cg_converged} "
         f"sli_converged={report.sli_converged}",
         file=sys.stderr,
     )
-    a_norm_e = approx_convergence_factor(op, pc, key)
+    a_norm_e = (float("nan") if args.skip_enorm
+                else approx_convergence_factor(op, pc, key))
     # machine-readable final line (reference examples/amg/main.rs:471-474)
     print(f"{report.cg_iters} {report.sli_iters} {a_norm_e:.6f} "
           f"{op_complexity:.6f}")

@@ -189,24 +189,40 @@ def _pick_format(
             16.0, (1 << 30) / max(csr.nnz * jnp.dtype(dtype).itemsize, 1)
         )
         # dense rows get their own window (a tile straddling two
-        # far-apart aggregates would otherwise blow the window cap);
+        # far-apart aggregates would otherwise blow the block budget —
+        # the slab width is the worst tile's, so retry with smaller
+        # tiles when the first attempt inflates past the cap);
         # sparser rows share tiles to amortize the window gather
         rpt = int(max(1, min(16, 1024 // max(mean_nnz, 1))))
+        err = None
+        for rpt_try in dict.fromkeys((rpt, max(rpt // 2, 1), 1)):
+            try:
+                return (
+                    BandedDense.from_csr(
+                        csr, dtype=dtype, max_inflation=max_inf,
+                        rows_per_tile=rpt_try,
+                    ),
+                    None,
+                )
+            except BandedUnsupported as e:
+                err = e
+        # heterogeneous rows (hub rows set every tile's slab width):
+        # row-bucketed stack of parts
         try:
             return (
-                BandedDense.from_csr(
-                    csr, dtype=dtype, max_inflation=max_inf,
-                    rows_per_tile=rpt,
+                BandedDense.stack_from_csr(
+                    csr, dtype=dtype, max_inflation=max_inf
                 ),
                 None,
             )
         except BandedUnsupported as e:
-            import logging
+            err = e
+        import logging
 
-            logging.getLogger(__name__).info(
-                "BandedDense rejected for %s (nnz/row %.0f): %s",
-                csr.shape, mean_nnz, e,
-            )
+        logging.getLogger(__name__).info(
+            "BandedDense rejected for %s (nnz/row %.0f): %s",
+            csr.shape, mean_nnz, err,
+        )
 
     well = None
     if prefer_well is None:

@@ -202,18 +202,17 @@ def _as_ell_operator(op):
     are single-chip layouts; the distributed path re-derives the CSR and
     shards it as (halo) ELL."""
     from tpu_amg.linop import TransposeOperator
-    from tpu_amg.sparse.banded import BandedDense
+    from tpu_amg.sparse.banded import BandedDense, BandedStack
 
+    banded = (BandedDense, BandedStack)
     if isinstance(op, TransposeOperator):
         base = op.base
-        if isinstance(base, SparseOperator) and isinstance(
-            base.ell, BandedDense
-        ):
+        if isinstance(base, SparseOperator) and isinstance(base.ell, banded):
             return SparseOperator(
                 ell=ELL.from_csr(base.ell.to_csr().transpose())
             )
         return op
-    if isinstance(op, SparseOperator) and isinstance(op.ell, BandedDense):
+    if isinstance(op, SparseOperator) and isinstance(op.ell, banded):
         return SparseOperator(ell=ELL.from_csr(op.ell.to_csr()))
     return op
 

@@ -133,14 +133,14 @@ class MultigridConfig:
             # restriction measured 39 ms vs µs for the transposed MXU
             # path at 24k-dof elasticity.
             from tpu_amg.linop import TransposeOperator
-            from tpu_amg.sparse.banded import BandedDense
+            from tpu_amg.sparse.banded import BandedDense, BandedStack
             from tpu_amg.sparse.ell import ELL as _ELL
 
             if (
                 isinstance(r_op.ell, _ELL)
                 and r_op.well is None
                 and r_op.ell.k >= 64
-                and isinstance(p_op.ell, BandedDense)
+                and isinstance(p_op.ell, (BandedDense, BandedStack))
             ):
                 r_op = TransposeOperator(base=p_op)
             n_coarse = hierarchy.get_op(lvl + 1).nrows

@@ -179,6 +179,82 @@ class BandedDense:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def stack_from_csr(
+        csr,
+        dtype=jnp.float32,
+        max_inflation: float = 8.0,
+        quantiles=(0.7, 0.95, 1.0),
+    ) -> "BandedStack":
+        """Row-heterogeneous variant: one hub row otherwise sets the slab
+        width for every tile (a 112-nnz row among 25-nnz rows inflated a
+        262k-dof restriction 18x past its nnz).  Rows are sorted by
+        block count and bucketed at ``quantiles``; each bucket becomes
+        its own BandedDense and the outputs are concatenated and
+        un-permuted (the permutation arrays are tiny relative to the
+        operator)."""
+        import scipy.sparse as sps
+
+        n, ncols = csr.shape
+        if csr.nnz == 0:
+            raise BandedUnsupported("empty matrix")
+        sp = sps.csr_matrix(
+            (np.asarray(csr.data), np.asarray(csr.indices),
+             np.asarray(csr.indptr)), shape=(n, ncols),
+        )
+        # per-row 16-block count as the homogeneity key
+        nnz_row = np.diff(sp.indptr)
+        rows_of = np.repeat(np.arange(n), nnz_row)
+        key = rows_of.astype(np.int64) * (-(-ncols // 16)) + (
+            sp.indices // 16
+        )
+        ucount = np.bincount(
+            np.unique(key) // (-(-ncols // 16)), minlength=n
+        )
+        # class-bucket by block count but keep ORIGINAL row order within
+        # each class — rows_per_tile groups consecutive rows, and
+        # consecutive original rows are spatially adjacent (sorting by
+        # density would scatter each tile across the domain and blow the
+        # per-tile block union)
+        thrs = [float(np.quantile(ucount, q)) for q in quantiles]
+        parts, part_rows = [], []
+        total_slab = 0
+        prev_thr = -np.inf
+        from tpu_amg.sparse.csr import CSR as _CSR
+
+        for thr in thrs:
+            rows = np.flatnonzero((ucount > prev_thr) & (ucount <= thr))
+            prev_thr = thr
+            if len(rows) == 0:
+                continue
+            sub = sp[rows]
+            # rpt=1: restriction-like rows are disjoint aggregate
+            # supports — tiles of several rows multiply the slab width
+            # without sharing blocks
+            part = BandedDense.from_csr(
+                _CSR.from_scipy(sub.tocsr()), dtype=dtype,
+                rows_per_tile=1,
+                max_inflation=float("inf"),  # gated on the total below
+            )
+            total_slab += int(np.prod(part.slabs.shape))
+            parts.append(part)
+            part_rows.append(rows)
+        if total_slab > max_inflation * max(csr.nnz, 1):
+            raise BandedUnsupported(
+                f"stacked slabs would be {total_slab / max(csr.nnz, 1):.1f}x nnz"
+            )
+        rows_sorted = np.concatenate(part_rows)
+        inv = np.empty(n, dtype=np.int64)
+        inv[rows_sorted] = np.arange(n)
+        return BandedStack(
+            parts=tuple(parts),
+            inv=jnp.asarray(inv, dtype=jnp.int32),
+            rows_sorted=jnp.asarray(rows_sorted, dtype=jnp.int32),
+            shape=(int(n), int(ncols)),
+            nnz=int(csr.nnz),
+            block_size=int(getattr(csr, "block_size", 1)),
+        )
+
+    @staticmethod
     def from_csr(
         csr,
         dtype=jnp.float32,
@@ -264,4 +340,97 @@ class BandedDense:
             x2d_rows=int(x2d_rows),
             bw=int(bw),
             block_size=int(getattr(csr, "block_size", 1)),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedStack:
+    """Row-bucketed stack of BandedDense parts (see
+    BandedDense.stack_from_csr).  Rows are stored sorted by density;
+    ``rows_sorted``/``inv`` translate between original and sorted row
+    order."""
+
+    parts: Tuple[BandedDense, ...]
+    inv: jax.Array  # original row -> position in the concat
+    rows_sorted: jax.Array  # position in the concat -> original row
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        y = jnp.concatenate([p.mv(x) for p in self.parts])
+        return jnp.take(y, self.inv, axis=0)
+
+    def mm(self, xs: jax.Array) -> jax.Array:
+        y = jnp.concatenate([p.mm(xs) for p in self.parts])
+        return jnp.take(y, self.inv, axis=0)
+
+    def rmv(self, x: jax.Array) -> jax.Array:
+        xs = jnp.take(x, self.rows_sorted, axis=0)
+        out = None
+        lo = 0
+        for p in self.parts:
+            contrib = p.rmv(xs[lo : lo + p.nrows])
+            out = contrib if out is None else out + contrib
+            lo += p.nrows
+        return out
+
+    def rmm(self, x: jax.Array) -> jax.Array:
+        xs = jnp.take(x, self.rows_sorted, axis=0)
+        out = None
+        lo = 0
+        for p in self.parts:
+            contrib = p.rmm(xs[lo : lo + p.nrows])
+            out = contrib if out is None else out + contrib
+            lo += p.nrows
+        return out
+
+    def __call__(self, x):
+        return self.mm(x) if x.ndim > 1 else self.mv(x)
+
+    def abs_row_sums(self) -> jax.Array:
+        y = jnp.concatenate([p.abs_row_sums() for p in self.parts])
+        return jnp.take(y, self.inv, axis=0)
+
+    def row_sums(self) -> jax.Array:
+        y = jnp.concatenate([p.row_sums() for p in self.parts])
+        return jnp.take(y, self.inv, axis=0)
+
+    def to_csr(self):
+        from tpu_amg.sparse.ops import from_coo as _from_coo
+
+        rows_all, cols_all, vals_all = [], [], []
+        lo = 0
+        rs = np.asarray(self.rows_sorted)
+        for p in self.parts:
+            c = p.to_csr()
+            r, cc, vv = c.coo()
+            rows_all.append(rs[lo + r])
+            cols_all.append(cc)
+            vals_all.append(vv)
+            lo += p.nrows
+        return _from_coo(
+            np.concatenate(rows_all), np.concatenate(cols_all),
+            np.concatenate(vals_all), self.shape,
+        ).with_block_size(self.block_size)
+
+    def __repr__(self):
+        slots = sum(int(np.prod(p.slabs.shape)) for p in self.parts)
+        return (
+            f"BandedStack(shape={self.shape}, nnz={self.nnz}, "
+            f"parts={len(self.parts)} (x{slots / max(self.nnz, 1):.1f} "
+            f"slots), dtype={self.dtype})"
         )

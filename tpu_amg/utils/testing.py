@@ -42,19 +42,31 @@ def test_solver(
     *,
     rtol: float = 1e-12,
     maxiter: int = 1000,
+    run_sli: bool = True,
 ) -> SolverReport:
     """Run PCG and preconditioned stationary iteration on the same system
     and report iteration counts + residual histories
-    (reference utils.rs:553-689)."""
+    (reference utils.rs:553-689).  ``run_sli=False`` skips the stationary
+    solve (it runs to maxiter V-cycles on hard problems — a big cost on
+    CPU hosts) and reports -1 iterations for it."""
     _, cg_info = cg(a, b, m, x0, rtol=rtol, maxiter=maxiter)
-    _, sli_info = stationary_iteration(a, b, m, x0, rtol=rtol, maxiter=maxiter)
+    if run_sli:
+        _, sli_info = stationary_iteration(
+            a, b, m, x0, rtol=rtol, maxiter=maxiter
+        )
+        sli_iters = int(sli_info.iters)
+        sli_converged = bool(sli_info.converged)
+        sli_history = sli_info.history()
+    else:
+        sli_iters, sli_converged = -1, False
+        sli_history = np.zeros(1)
     return SolverReport(
         cg_iters=int(cg_info.iters),
         cg_converged=bool(cg_info.converged),
-        sli_iters=int(sli_info.iters),
-        sli_converged=bool(sli_info.converged),
+        sli_iters=sli_iters,
+        sli_converged=sli_converged,
         cg_history=cg_info.history(),
-        sli_history=sli_info.history(),
+        sli_history=sli_history,
     )
 
 
