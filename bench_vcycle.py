@@ -92,6 +92,35 @@ def main():
         _sync(run(x))
         best = min(best, (time.perf_counter() - t0) / reps)
 
+    # mixed-precision cycles (precision.py): bf16 value streams halve the
+    # HBM traffic of every level; measure both modes against f32
+    from tpu_amg.precision import cast_preconditioner
+
+    best16 = {}
+    for mode in ("bf16_values", "bf16"):
+        try:
+            mg16 = cast_preconditioner(mg, mode)
+
+            @jax.jit
+            def cycle16(m, v):
+                def body(u, _):
+                    return m.mv(u), None
+
+                u, _ = jax.lax.scan(body, v, None, length=reps)
+                return u
+
+            _sync(cycle16(mg16, x))
+            b16 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(cycle16(mg16, x))
+                b16 = min(b16, (time.perf_counter() - t0) / reps)
+            best16[mode] = b16
+            print(f"# vcycle[{mode}]={b16*1e3:.3f}ms",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # env-specific compile limits
+            print(f"# vcycle[{mode}] failed: {e}", file=sys.stderr)
+
     # speed-of-light estimate: every level contributes
     # (pre+post smoothing = 2×deg SpMV passes + transfers + residual)
     bw = measure_stream_bandwidth(jnp, jax, jnp.float32)
@@ -111,16 +140,15 @@ def main():
         file=sys.stderr, flush=True,
     )
     solve_bench(mg, a, jax, jnp)
-    print(
-        json.dumps(
-            {
-                "metric": f"vcycle_wall_time_3d_poisson_{n_grid}cubed",
-                "value": round(best * 1e3, 4),
-                "unit": "ms",
-                "vs_baseline": round(sol / best, 4),
-            }
-        )
-    )
+    out = {
+        "metric": f"vcycle_wall_time_3d_poisson_{n_grid}cubed",
+        "value": round(best * 1e3, 4),
+        "unit": "ms",
+        "vs_baseline": round(sol / best, 4),
+    }
+    for mode, b16 in best16.items():
+        out[f"value_{mode}"] = round(b16 * 1e3, 4)
+    print(json.dumps(out))
 
 
 def solve_bench(mg, a, jax, jnp):
@@ -149,6 +177,31 @@ def solve_bench(mg, a, jax, jnp):
         f"res {float(res):.2e}",
         file=sys.stderr, flush=True,
     )
+
+    # same solve with a bf16 preconditioner cycle (f32 outer CG)
+    from tpu_amg.precision import cast_preconditioner
+
+    try:
+        mg16 = cast_preconditioner(mg, "bf16")
+
+        @jax.jit
+        def solve16(b):
+            x, info = cg(op, b, mg16, rtol=1e-6, maxiter=100)
+            return x, info.iters, info.final_res
+
+        x, iters, res = solve16(b)
+        _sync(x)
+        t0 = time.perf_counter()
+        x, iters, res = solve16(b)
+        _sync(x)
+        dt = time.perf_counter() - t0
+        print(
+            f"# full PCG solve[bf16 cycle]: {dt*1e3:.1f}ms, {int(iters)} "
+            f"iters, res {float(res):.2e}",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(f"# bf16 solve failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

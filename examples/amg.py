@@ -83,6 +83,10 @@ def parse_args():
                    help="skip the stationary-iteration solve (prints -1)")
     p.add_argument("--skip-enorm", action="store_true",
                    help="skip the ||E||_A power estimate (prints nan)")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["bf16", "bf16_values", "f32"],
+                   help="mixed-precision preconditioner cycle "
+                        "(precision.py); outer PCG stays f64")
     p.add_argument("-v", "--verbose", action="store_true")
     return p.parse_args()
 
@@ -301,6 +305,10 @@ def main():
             dump_hierarchy_viz(hierarchy, args.viz_out)
         pc = mg_cfg.build(hierarchy)
         op_complexity = hierarchy.op_complexity()
+    if args.precision:
+        from tpu_amg.precision import cast_preconditioner
+
+        pc = cast_preconditioner(pc, args.precision)
     print(f"setup: {time.time() - t_setup:.1f}s", file=sys.stderr)
 
     t_solve = time.time()

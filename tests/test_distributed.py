@@ -194,7 +194,34 @@ class TestShardedSolve:
         )
 
 
-def _build_algebraic_mg(prefer_dia: bool, smoother: str = "chebyshev"):
+def test_shard_multigrid_preserves_dtype(mesh):
+    """Regression: _as_ell_operator re-derives BandedDense/BandedStack
+    transfers as ELL for sharding — it must keep the build dtype (an f64
+    rebuild of one f32 level poisons the whole sharded CG carry and
+    breaks the while_loop dtype invariants)."""
+    mg, _ = _build_algebraic_mg(prefer_dia=False, dtype=jnp.float32)
+    # the setup must actually produce a non-ELL transfer to normalize
+    from tpu_amg.sparse.banded import BandedDense, BandedStack
+
+    kinds = {
+        type(getattr(lvl, f).ell).__name__
+        for lvl in mg.levels
+        for f in ("r", "p")
+        if hasattr(getattr(lvl, f), "ell")
+    }
+    assert kinds & {"BandedDense", "BandedStack"}, kinds
+    mg_sharded = shard_multigrid(mg, mesh, replicate_below=0)
+    float_dtypes = {
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(mg_sharded)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.inexact)
+    }
+    assert float_dtypes == {jnp.dtype(jnp.float32)}, float_dtypes
+
+
+def _build_algebraic_mg(
+    prefer_dia: bool, smoother: str = "chebyshev", dtype=jnp.float64
+):
     """SA hierarchy + multigrid on poisson2d(16) (256 dofs, 8-divisible);
     fine level sharded, coarse levels replicated."""
     from tpu_amg.hierarchy import HierarchyConfig, create_weights
@@ -222,6 +249,7 @@ def _build_algebraic_mg(prefer_dia: bool, smoother: str = "chebyshev"):
         prefer_dia=prefer_dia,
         dense_threshold=0,
         smoother=smoother,
+        dtype=dtype,
     ).build(hier)
     return mg, a
 

@@ -37,6 +37,41 @@ class TestCG:
         # l1 preconditioner should not be (much) worse
         assert int(pre.iters) <= int(plain.iters) + 5
 
+    def test_flexible_matches_standard_for_fixed_precond(self):
+        # with an exactly-fixed SPD M, the Polak-Ribière beta reduces to
+        # the Fletcher-Reeves one in exact arithmetic — same iterates
+        csr = poisson2d(12)
+        a = aslinearoperator(csr)
+        b = jnp.asarray(np.random.default_rng(3).normal(size=csr.nrows))
+        m = build_smoother("l1", a.ell)
+        x_std, std = cg(a, b, m, rtol=1e-10)
+        x_flex, flex = cg(a, b, m, rtol=1e-10, flexible=True)
+        assert bool(flex.converged)
+        assert abs(int(flex.iters) - int(std.iters)) <= 1
+        np.testing.assert_allclose(
+            np.asarray(x_flex), np.asarray(x_std), atol=1e-8
+        )
+
+    def test_flexible_robust_to_varying_preconditioner(self):
+        # bf16-rounded cycle = slightly inexact M; FCG must still converge
+        from tpu_amg.precision import cast_preconditioner
+        from tpu_amg.solver import AMGSolver, SolverConfig
+
+        csr = poisson2d(24)
+        solver = AMGSolver.setup(
+            csr,
+            SolverConfig(
+                coarsening_near_null_dim=8, smoothing_iters=5,
+                coarsest_dim=64, dtype=jnp.float32,
+            ),
+        )
+        m16 = cast_preconditioner(solver.preconditioner, "bf16")
+        b = jnp.asarray(
+            np.random.default_rng(4).normal(size=csr.nrows), jnp.float32
+        )
+        x, info = cg(solver.op, b, m16, rtol=1e-6, flexible=True)
+        assert bool(info.converged)
+
     def test_history_monotone_start(self):
         a = aslinearoperator(poisson1d(33))
         b = jnp.ones(32)

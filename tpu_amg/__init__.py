@@ -56,6 +56,10 @@ def __getattr__(name):
         from tpu_amg.adaptivity import AdaptiveConfig
 
         return AdaptiveConfig
+    if name in ("cast_operator", "cast_preconditioner", "MixedPrecision"):
+        from tpu_amg import precision
+
+        return getattr(precision, name)
     raise AttributeError(f"module 'tpu_amg' has no attribute {name!r}")
 
 
@@ -84,4 +88,7 @@ __all__ = [
     "ComposedOperator",
     "ScaledIdentity",
     "aslinearoperator",
+    "cast_operator",
+    "cast_preconditioner",
+    "MixedPrecision",
 ]

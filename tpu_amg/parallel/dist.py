@@ -209,11 +209,15 @@ def _as_ell_operator(op):
         base = op.base
         if isinstance(base, SparseOperator) and isinstance(base.ell, banded):
             return SparseOperator(
-                ell=ELL.from_csr(base.ell.to_csr().transpose())
+                ell=ELL.from_csr(
+                    base.ell.to_csr().transpose(), dtype=base.ell.dtype
+                )
             )
         return op
     if isinstance(op, SparseOperator) and isinstance(op.ell, banded):
-        return SparseOperator(ell=ELL.from_csr(op.ell.to_csr()))
+        return SparseOperator(
+            ell=ELL.from_csr(op.ell.to_csr(), dtype=op.ell.dtype)
+        )
     return op
 
 

@@ -56,6 +56,11 @@ class SolverConfig:
     composite_components: int = 3  # for method="adaptive"
     reorder: bool = False  # RCM renumbering (utils/reorder.py) before setup
     dtype: object = jnp.float64
+    # Mixed-precision preconditioning (precision.py): None keeps the
+    # cycle in ``dtype``; "bf16_values" stores operator arrays in bf16
+    # (vectors stay ``dtype``, FMAs accumulate f32 — halves the dominant
+    # HBM stream); "bf16" runs cycle vectors in bf16 too (MXU-native).
+    cycle_precision: Optional[str] = None
     seed: int = 0
 
 
@@ -122,6 +127,7 @@ class AMGSolver:
                 test_iters=config.smoothing_iters,
                 coarsening_near_null_dim=config.coarsening_near_null_dim,
             ).build(a, key, return_hierarchies=True)
+            pc = AMGSolver._apply_precision(pc, config)
             solver = AMGSolver(a, pc, hierarchy=None, config=config, perm=perm)
             solver.component_hierarchies = hierarchies
             return solver
@@ -137,8 +143,16 @@ class AMGSolver:
             np.concatenate([np.ones((a.nrows, 1)), nn], axis=1)
         )
         hierarchy = hier_cfg.build(a, basis, create_weights(a, basis))
-        mg = mg_cfg.build(hierarchy)
+        mg = AMGSolver._apply_precision(mg_cfg.build(hierarchy), config)
         return AMGSolver(a, mg, hierarchy=hierarchy, config=config, perm=perm)
+
+    @staticmethod
+    def _apply_precision(pc, config: SolverConfig):
+        if getattr(config, "cycle_precision", None) is None:
+            return pc
+        from tpu_amg.precision import cast_preconditioner
+
+        return cast_preconditioner(pc, config.cycle_precision)
 
     # ------------------------------------------------------------------
     def compile(self, *, rtol: float = 1e-8, maxiter: int = 500,
@@ -260,9 +274,10 @@ class AMGSolver:
                 a=aslinearoperator(a, dtype=config.dtype),
                 components=components,
             )
+            pc = AMGSolver._apply_precision(pc, config)
             solver = AMGSolver(a, pc, hierarchy=None, config=config)
             solver.component_hierarchies = hierarchies
             return solver
         hierarchy = load_hierarchy(path)
-        mg = mg_cfg.build(hierarchy)
+        mg = AMGSolver._apply_precision(mg_cfg.build(hierarchy), config)
         return AMGSolver(a, mg, hierarchy=hierarchy, config=config)

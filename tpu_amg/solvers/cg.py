@@ -51,6 +51,7 @@ def cg(
     rtol: float = 1e-12,
     atol: float = 0.0,
     maxiter: int = 1000,
+    flexible: bool = False,
 ):
     """Solve A x = b with (optionally preconditioned) CG.
 
@@ -61,6 +62,10 @@ def cg(
       rtol/atol: stop when ||r|| <= max(rtol*||b||, atol)
         (matches the reference example solve config, examples/amg/main.rs:100-104).
       maxiter: static iteration cap.
+      flexible: use the Polak-Ribière beta (FCG): β = zᵀ(r−r_prev)/zᵀ_prev r_prev.
+        Robust to preconditioners that are not exactly a fixed SPD operator
+        (mixed-precision cycles, adaptive composites); costs one extra
+        stored vector and one AXPY per iteration.
 
     Returns:
       (x, SolveInfo)
@@ -89,14 +94,20 @@ def cg(
         ap = a.mv(p)
         alpha = rz / sdot(p, ap)
         x = x + alpha * p
-        r = r - alpha * ap
-        z = apply_m(r)
-        rz_new = sdot(r, z)
-        beta = rz_new / rz
+        r_new = r - alpha * ap
+        z = apply_m(r_new)
+        rz_new = sdot(r_new, z)
+        if flexible:
+            # Polak-Ribière (Notay's flexible CG): re-orthogonalizes
+            # against the previous residual so a slightly-varying or
+            # inexact M cannot break the p-conjugacy recurrence
+            beta = sdot(r_new - r, z) / rz
+        else:
+            beta = rz_new / rz
         p = z + beta * p
-        res = snorm(r)
+        res = snorm(r_new)
         hist = hist.at[k + 1].set(res)
-        return x, r, p, rz_new, k + 1, res, hist
+        return x, r_new, p, rz_new, k + 1, res, hist
 
     x, r, _, _, k, res, hist = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.int32(0), res0, hist0)
