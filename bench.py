@@ -150,7 +150,14 @@ def main():
     print(f"# ell {dt_ell*1e3:.3f}ms; building DIA...", file=sys.stderr, flush=True)
     dia = try_from_csr(a, dtype=jnp.float32)
     dt_dia = time_spmv(dia) if dia is not None else float("inf")
-    print(f"# dia {dt_dia*1e3:.3f}ms; trying pallas...", file=sys.stderr, flush=True)
+    # bf16 value stream (x/y stay f32, FMAs accumulate f32): halves the
+    # dominant traffic term — the production mixed-precision cycle mode
+    dt_dia16 = (
+        time_spmv(dia.astype(jnp.bfloat16)) if dia is not None
+        else float("inf")
+    )
+    print(f"# dia {dt_dia*1e3:.3f}ms bf16v {dt_dia16*1e3:.3f}ms; "
+          f"trying pallas...", file=sys.stderr, flush=True)
     dt_pallas = float("inf")
     if dia is not None and not os.environ.get("TPU_AMG_BENCH_NO_PALLAS"):
         # hardware-validated round 2 (119.6 Gnnz/s on the v5e tunnel);
@@ -235,6 +242,9 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# unstructured bench skipped: {e}", file=sys.stderr)
 
+    extra = {}
+    if np.isfinite(dt_dia16):
+        extra["bf16_values_gnnzs"] = round(nnz / dt_dia16 / 1e9, 4)
     print(
         json.dumps(
             {
@@ -242,6 +252,7 @@ def main():
                 "value": round(nnz_per_s / 1e9, 4),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(nnz_per_s / target, 4),
+                **extra,
                 **un,
             }
         )

@@ -76,6 +76,10 @@ def main():
     dia = try_from_csr(a, dtype=jnp.float32, max_diags=200)
     if dia is not None:
         fmts["dia"] = (time_mv(dia), f"{dia.data.shape[0]} diagonals")
+        fmts["dia_bf16v"] = (
+            time_mv(dia.astype(jnp.bfloat16)),
+            "bf16 value stream, f32 x/accumulate",
+        )
     bsr = BSR.from_csr(a, dtype=jnp.float32)
     fmts["bsr"] = (time_mv(bsr), f"k={bsr.k} block cols")
     try:
@@ -105,6 +109,7 @@ def main():
             smoothing_iters=8,
             coarsening_factor=8.0 * 2,  # aggregates of ~6 block-nodes
             dtype=jnp.float32,
+            setup_on_host=True,  # f64 setup off the (tunneled) accelerator
         )
         t0 = time.perf_counter()
         solver = AMGSolver.setup(a, cfg)
@@ -128,6 +133,30 @@ def main():
         print(f"# solve: setup {setup_s:.1f}s, solve {solve_s*1e3:.1f}ms, "
               f"{iters} iters, converged={bool(info.converged)}",
               file=sys.stderr, flush=True)
+
+        # bf16-valued preconditioner cycle (f32 outer CG)
+        from tpu_amg.precision import cast_preconditioner
+        from tpu_amg.solvers import cg as _cg
+
+        mg16 = cast_preconditioner(solver.preconditioner, "bf16_values")
+
+        @jax.jit
+        def solve16(op_, m_, b_):
+            x_, info_ = _cg(op_, b_, m_, rtol=1e-8, maxiter=300)
+            return x_, info_.iters, info_.final_res
+
+        xs, it16, _res = solve16(solver.op, mg16, b)
+        _sync(xs)
+        t0 = time.perf_counter()
+        xs, it16, _res = solve16(solver.op, mg16, b)
+        _sync(xs)
+        solve16_s = time.perf_counter() - t0
+        out.update(
+            solve_ms_bf16_values=round(solve16_s * 1e3, 1),
+            cg_iters_bf16_values=int(it16),
+        )
+        print(f"# solve[bf16_values]: {solve16_s*1e3:.1f}ms, {int(it16)} "
+              f"iters", file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 

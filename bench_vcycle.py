@@ -168,21 +168,24 @@ def solve_bench(mg, a, jax, jnp):
 
     x, iters, res = solve(b)
     _sync(x)
-    t0 = time.perf_counter()
-    x, iters, res = solve(b)
-    _sync(x)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x, iters, res = solve(b)
+        _sync(x)
+        dt = min(dt, time.perf_counter() - t0)
     print(
         f"# full PCG solve: {dt*1e3:.1f}ms, {int(iters)} iters, "
         f"res {float(res):.2e}",
         file=sys.stderr, flush=True,
     )
 
-    # same solve with a bf16 preconditioner cycle (f32 outer CG)
+    # same solve with a bf16-valued preconditioner cycle (f32 outer CG;
+    # bf16_values is the measured-fastest cycle mode on TPU)
     from tpu_amg.precision import cast_preconditioner
 
     try:
-        mg16 = cast_preconditioner(mg, "bf16")
+        mg16 = cast_preconditioner(mg, "bf16_values")
 
         @jax.jit
         def solve16(b):
@@ -191,13 +194,15 @@ def solve_bench(mg, a, jax, jnp):
 
         x, iters, res = solve16(b)
         _sync(x)
-        t0 = time.perf_counter()
-        x, iters, res = solve16(b)
-        _sync(x)
-        dt = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x, iters, res = solve16(b)
+            _sync(x)
+            best = min(best, time.perf_counter() - t0)
         print(
-            f"# full PCG solve[bf16 cycle]: {dt*1e3:.1f}ms, {int(iters)} "
-            f"iters, res {float(res):.2e}",
+            f"# full PCG solve[bf16_values cycle]: {best*1e3:.1f}ms, "
+            f"{int(iters)} iters, res {float(res):.2e}",
             file=sys.stderr, flush=True,
         )
     except Exception as e:

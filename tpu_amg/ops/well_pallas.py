@@ -263,28 +263,38 @@ def _well_spmv_call(
 
 def well_spmv(well, x: jax.Array, interpret=None, dma_window=False):
     """y = A @ x for a WELL-formatted matrix (see sparse/well.py)."""
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
     n2d = well.x2d_rows
     xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)
-    out = _well_spmv_call(
-        well.q,
-        well.amap,
-        well.lam,
-        well.pid,
-        well.rho,
-        well.data,
-        well.cont,
-        well.route,
-        x2d,
-        win_rows=well.win_rows,
-        n_passes=well.n_passes,
-        merge_rounds=well.merge_rounds,
-        vregs=well.vregs_per_tile,
-        dma_window=bool(dma_window),
-        interpret=bool(interpret),
+
+    def call(interp, *args):
+        return _well_spmv_call(
+            *args,
+            win_rows=well.win_rows,
+            n_passes=well.n_passes,
+            merge_rounds=well.merge_rounds,
+            vregs=well.vregs_per_tile,
+            dma_window=bool(dma_window),
+            interpret=interp,
+        )
+
+    operands = (
+        well.q, well.amap, well.lam, well.pid, well.rho, well.data,
+        well.cont, well.route, x2d,
     )
+    if interpret is None:
+        # decide per lowering platform, not per global device list: a
+        # host-pinned setup (SolverConfig.setup_on_host) traces this for
+        # cpu while the session's default device is a TPU
+        from functools import partial
+
+        out = jax.lax.platform_dependent(
+            *operands,
+            cpu=partial(call, True),
+            default=partial(call, False),
+        )
+    else:
+        out = call(bool(interpret), *operands)
     # (T, vregs*8, 16) → row-major rows; each vreg-row's first
     # rows_per_vrow lanes are real rows
     g = well.rows_per_vrow

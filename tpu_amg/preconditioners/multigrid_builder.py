@@ -74,9 +74,17 @@ class MultigridConfig:
         # operator type: DIA/ELL/Dense)
         if self.smoother == "chebyshev":
             d_inv = jnp.asarray(1.0 / a.abs_row_sums(), dtype=self.dtype)
-            return ChebyshevSmoother.build(
-                a_op, d_inv, degree=self.chebyshev_degree
+            # strip any WELL sidecar for the build-time λ_max power
+            # iteration: under a host-pinned setup it would otherwise
+            # run the Pallas kernel in (very slow) interpret mode; the
+            # returned smoother keeps the full a_op for solve time
+            est_op = a_op
+            if isinstance(a_op, SparseOperator) and a_op.well is not None:
+                est_op = dataclasses.replace(a_op, well=None)
+            cheb = ChebyshevSmoother.build(
+                est_op, d_inv, degree=self.chebyshev_degree
             )
+            return dataclasses.replace(cheb, a=a_op)
         if self.smoother == "l1":
             diag = 1.0 / a.abs_row_sums()
         elif self.smoother == "jacobi":

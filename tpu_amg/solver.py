@@ -61,6 +61,12 @@ class SolverConfig:
     # (vectors stay ``dtype``, FMAs accumulate f32 — halves the dominant
     # HBM stream); "bf16" runs cycle vectors in bf16 too (MXU-native).
     cycle_precision: Optional[str] = None
+    # Pin setup-phase device compute (near-null smoothing, batched
+    # SVD/QR, strength filtering) to the host CPU backend, then move the
+    # finished operators to the accelerator.  Setup tensors are f64 and
+    # transient — on small-HBM or tunneled accelerators they can exceed
+    # device memory long before the (f32) solve operators do.
+    setup_on_host: bool = False
     seed: int = 0
 
 
@@ -88,6 +94,52 @@ class AMGSolver:
     @staticmethod
     def setup(a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
         config = config or SolverConfig()
+        if (
+            getattr(config, "setup_on_host", False)
+            and jax.default_backend() != "cpu"
+        ):
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "setup_on_host requested but no cpu backend is "
+                    "registered (JAX_PLATFORMS=%s); running setup on the "
+                    "default device",
+                    jax.config.jax_platforms,
+                )
+                cpu = None
+            if cpu is not None:
+                target = jax.devices()[0]
+                with jax.default_device(cpu):
+                    solver = AMGSolver._setup_impl(a, config)
+                solver.place(target)
+                return solver
+        return AMGSolver._setup_impl(a, config)
+
+    def place(self, device) -> "AMGSolver":
+        """Move the solver's device arrays (operators, preconditioner) to
+        ``device``; invalidates compiled executables."""
+
+        def put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, device)
+                if isinstance(x, jax.Array)
+                else x,
+                tree,
+            )
+
+        self.op = put(self.op)
+        self.preconditioner = put(self.preconditioner)
+        if self.perm is not None:
+            self.perm = jax.device_put(self.perm, device)
+            self.inv_perm = jax.device_put(self.inv_perm, device)
+        self._compiled.clear()
+        return self
+
+    @staticmethod
+    def _setup_impl(a: CSR, config: SolverConfig) -> "AMGSolver":
         perm = None
         if config.reorder:
             from tpu_amg.utils.reorder import rcm_reorder

@@ -21,6 +21,11 @@ import jax
 def apply_env_platform(cache_dir: str = "/tmp/tpu_amg_jax_cache") -> None:
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
+        # keep the host cpu backend registered alongside the accelerator
+        # (first entry stays the default): setup_on_host pins the f64
+        # setup phase to it on small-HBM/tunneled devices
+        if "cpu" not in plat.split(","):
+            plat = plat + ",cpu"
         try:
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
