@@ -61,6 +61,7 @@ def main():
             smoothing_iters=10,
             coarsest_dim=1500,
             dtype=jnp.float32,
+            dense_threshold=8192,  # mid levels dense on the MXU
             setup_on_host=True,  # f64 setup tensors exceed tunneled HBM
         ),
     )

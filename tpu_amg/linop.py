@@ -177,8 +177,37 @@ def _pick_format(
         ) * csr.nrows <= dia_max_density * max(csr.nnz, 1):
             return dia, None
 
+    if prefer_well is None:
+        prefer_well = (
+            jax.devices()[0].platform == "tpu"
+            and csr.nrows >= well_min_rows
+            and jnp.dtype(dtype).itemsize == 4
+        )
+
+    def try_well():
+        if not prefer_well or not csr.is_square:
+            return None
+        from tpu_amg.sparse.well import WELL, WellUnsupported
+
+        try:
+            return WELL.from_csr(csr, dtype=dtype)
+        except WellUnsupported:
+            return None
+
+    banded_mat = None
     mean_nnz = csr.nnz / max(csr.nrows, 1)
-    if mean_nnz >= 24.0 and csr.nnz > 0:
+    # rectangular transfers (P) with a few hub rows pad ELL terribly:
+    # a 262k x 55k smoothed-SA prolongation with max-row 52 / mean 8.3
+    # costs 98 ms as an ELL gather (13.6M padded slots at the scalar-
+    # gather floor) vs ~1 ms as windowed slabs
+    ell_padded = int(csr.row_nnz().max(initial=0)) * csr.nrows if csr.nnz else 0
+    gather_hostile = (
+        not csr.is_square
+        and csr.nnz > 0
+        and ell_padded > 3.0 * csr.nnz
+        and mean_nnz >= 2.0
+    )
+    if (mean_nnz >= 24.0 or gather_hostile) and csr.nnz > 0:
         from tpu_amg.sparse.banded import BandedDense, BandedUnsupported
 
         # generous inflation cap: even 16x-padded dense slabs stream at
@@ -197,47 +226,50 @@ def _pick_format(
         err = None
         for rpt_try in dict.fromkeys((rpt, max(rpt // 2, 1), 1)):
             try:
-                return (
-                    BandedDense.from_csr(
-                        csr, dtype=dtype, max_inflation=max_inf,
-                        rows_per_tile=rpt_try,
-                    ),
-                    None,
+                banded_mat = BandedDense.from_csr(
+                    csr, dtype=dtype, max_inflation=max_inf,
+                    rows_per_tile=rpt_try,
+                )
+                break
+            except BandedUnsupported as e:
+                err = e
+        if banded_mat is None:
+            # heterogeneous rows (hub rows set every tile's slab width):
+            # row-bucketed stack of parts
+            try:
+                banded_mat = BandedDense.stack_from_csr(
+                    csr, dtype=dtype, max_inflation=max_inf
                 )
             except BandedUnsupported as e:
                 err = e
-        # heterogeneous rows (hub rows set every tile's slab width):
-        # row-bucketed stack of parts
-        try:
-            return (
-                BandedDense.stack_from_csr(
-                    csr, dtype=dtype, max_inflation=max_inf
-                ),
-                None,
+        if banded_mat is None:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "BandedDense rejected for %s (nnz/row %.0f): %s",
+                csr.shape, mean_nnz, err,
             )
-        except BandedUnsupported as e:
-            err = e
-        import logging
+    if banded_mat is not None:
+        # square heterogeneous operators (Galerkin coarse levels of
+        # unstructured systems) can pass the inflation cap yet still be
+        # far off memory speed — measured at a 55k/2.6M-nnz level-1:
+        # x15-inflated BandedDense 7.1 ms vs WELL 1.8 ms.  Keep the slab
+        # form for mm/rmv (MXU multi-vector path) but take the solve-loop
+        # mv through a WELL sidecar when slabs inflated badly.
+        if csr.is_square:
+            from tpu_amg.sparse.banded import BandedStack
 
-        logging.getLogger(__name__).info(
-            "BandedDense rejected for %s (nnz/row %.0f): %s",
-            csr.shape, mean_nnz, err,
-        )
+            if isinstance(banded_mat, BandedStack):
+                slots = sum(
+                    int(np.prod(p.slabs.shape)) for p in banded_mat.parts
+                )
+            else:
+                slots = int(np.prod(banded_mat.slabs.shape))
+            if slots > 3.0 * max(csr.nnz, 1):
+                return banded_mat, try_well()
+        return banded_mat, None
 
-    well = None
-    if prefer_well is None:
-        prefer_well = (
-            jax.devices()[0].platform == "tpu"
-            and csr.nrows >= well_min_rows
-            and jnp.dtype(dtype).itemsize == 4
-        )
-    if prefer_well:
-        from tpu_amg.sparse.well import WELL, WellUnsupported
-
-        try:
-            well = WELL.from_csr(csr, dtype=dtype)
-        except WellUnsupported:
-            well = None
+    well = try_well()
     if well is None and csr.block_size > 1 and csr.is_square:
         from tpu_amg.sparse.bsr import BSR
 

@@ -44,6 +44,10 @@ class SolverConfig:
     # complexity).
     coarsening_near_null_dim: int = 16
     interp_near_null_dim: int = 4  # SA candidate dimension
+    # filtered-SA P smoothing (interpolation/sa.py filter_matrix): smooth
+    # with the strength-filtered A — sharper P, sparser Galerkin coarse
+    # operators (lower op complexity), better high-contrast behavior
+    sa_filter_theta: Optional[float] = None
     smoothing_iters: int = 20
     coarsening_factor: float = 8.0
     aggregation_iters: int = 100
@@ -51,6 +55,10 @@ class SolverConfig:
     max_levels: Optional[int] = None
     smoother: str = "chebyshev"  # "block" | "chebyshev" | "l1" | ...
     smoothing_steps: int = 2
+    # densify levels below this dimension (MXU matvec; a 5k-row Galerkin
+    # coarse level measured 0.2 ms dense vs 0.6 ms as the best sparse
+    # format on TPU).  Memory is n² — 8192² f32 is 268 MB.
+    dense_threshold: int = 2048
     mu: int = 1
     block_smoother_size: float = 128.0
     composite_components: int = 3  # for method="adaptive"
@@ -150,6 +158,7 @@ class AMGSolver:
             kind="aggregation" if config.method in ("sa", "adaptive") else "classical",
             aggregation=AggregationConfig(
                 candidate_dimension=config.interp_near_null_dim,
+                filter_theta=config.sa_filter_theta,
                 partitioner_config=PartitionerConfig(
                     coarsening_factor=config.coarsening_factor,
                     max_improvement_iters=config.aggregation_iters,
@@ -161,16 +170,7 @@ class AMGSolver:
             interpolation_config=interp,
             max_levels=config.max_levels,
         )
-        mg_cfg = MultigridConfig(
-            mu=config.mu,
-            smoothing_steps=config.smoothing_steps,
-            smoother=config.smoother,
-            dtype=config.dtype,
-            smoother_partitioner=PartitionerConfig(
-                coarsening_factor=config.block_smoother_size,
-                max_improvement_iters=50,
-            ),
-        )
+        mg_cfg = AMGSolver._mg_config(config)
         if config.method == "adaptive":
             pc, hierarchies = AdaptiveConfig(
                 hierarchy_config=hier_cfg,
@@ -294,6 +294,7 @@ class AMGSolver:
             smoothing_steps=config.smoothing_steps,
             smoother=config.smoother,
             dtype=config.dtype,
+            dense_threshold=getattr(config, "dense_threshold", 2048),
             smoother_partitioner=PartitionerConfig(
                 coarsening_factor=config.block_smoother_size,
                 max_improvement_iters=50,
