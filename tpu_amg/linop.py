@@ -224,11 +224,12 @@ def _pick_format(
         # sparser rows share tiles to amortize the window gather
         rpt = int(max(1, min(16, 1024 // max(mean_nnz, 1))))
         err = None
+        rb16 = BandedDense._row_blocks16(csr)  # shared across retries
         for rpt_try in dict.fromkeys((rpt, max(rpt // 2, 1), 1)):
             try:
                 banded_mat = BandedDense.from_csr(
                     csr, dtype=dtype, max_inflation=max_inf,
-                    rows_per_tile=rpt_try,
+                    rows_per_tile=rpt_try, _rb16=rb16,
                 )
                 break
             except BandedUnsupported as e:
@@ -238,7 +239,7 @@ def _pick_format(
             # row-bucketed stack of parts
             try:
                 banded_mat = BandedDense.stack_from_csr(
-                    csr, dtype=dtype, max_inflation=max_inf
+                    csr, dtype=dtype, max_inflation=max_inf, _rb16=rb16
                 )
             except BandedUnsupported as e:
                 err = e

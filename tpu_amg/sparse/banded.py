@@ -184,6 +184,7 @@ class BandedDense:
         dtype=jnp.float32,
         max_inflation: float = 8.0,
         quantiles=(0.7, 0.95, 1.0),
+        _rb16=None,
     ) -> "BandedStack":
         """Row-heterogeneous variant: one hub row otherwise sets the slab
         width for every tile (a 112-nnz row among 25-nnz rows inflated a
@@ -202,14 +203,10 @@ class BandedDense:
              np.asarray(csr.indptr)), shape=(n, ncols),
         )
         # per-row 16-block count as the homogeneity key
-        nnz_row = np.diff(sp.indptr)
-        rows_of = np.repeat(np.arange(n), nnz_row)
-        key = rows_of.astype(np.int64) * (-(-ncols // 16)) + (
-            sp.indices // 16
-        )
-        ucount = np.bincount(
-            np.unique(key) // (-(-ncols // 16)), minlength=n
-        )
+        if _rb16 is None:
+            _rb16 = BandedDense._row_blocks16(csr)
+        urow16, ublk16, _ = _rb16
+        ucount = np.bincount(urow16, minlength=n)
         # class-bucket by block count but keep ORIGINAL row order within
         # each class — rows_per_tile groups consecutive rows, and
         # consecutive original rows are spatially adjacent (sorting by
@@ -221,19 +218,34 @@ class BandedDense:
         prev_thr = -np.inf
         from tpu_amg.sparse.csr import CSR as _CSR
 
+        rank = np.empty(n, dtype=np.int64)
         for thr in thrs:
-            rows = np.flatnonzero((ucount > prev_thr) & (ucount <= thr))
+            bmask = (ucount > prev_thr) & (ucount <= thr)
+            rows = np.flatnonzero(bmask)
             prev_thr = thr
             if len(rows) == 0:
                 continue
             sub = sp[rows]
+            sub_csr = _CSR.from_scipy(sub.tocsr())
+            # derive the bucket's (row, block) pairs from the parent's
+            # shared pass instead of re-uniquing the bucket's nnz
+            rank[rows] = np.arange(len(rows))
+            sel = bmask[urow16]
+            rb_sub = (
+                rank[urow16[sel]],
+                ublk16[sel],
+                np.repeat(
+                    np.arange(len(rows)), np.diff(np.asarray(sub_csr.indptr))
+                ),
+            )
             # rpt=1: restriction-like rows are disjoint aggregate
             # supports — tiles of several rows multiply the slab width
             # without sharing blocks
             part = BandedDense.from_csr(
-                _CSR.from_scipy(sub.tocsr()), dtype=dtype,
+                sub_csr, dtype=dtype,
                 rows_per_tile=1,
                 max_inflation=float("inf"),  # gated on the total below
+                _rb16=rb_sub,
             )
             total_slab += int(np.prod(part.slabs.shape))
             parts.append(part)
@@ -255,6 +267,19 @@ class BandedDense:
         )
 
     @staticmethod
+    def _row_blocks16(csr):
+        """Shared precompute: unique (row, 16-block) pairs of the CSR.
+        Every (rows_per_tile, bw) combination derives from this one
+        nnz-scale pass ((a//16)//f == a//(16*f)), so format-selection
+        retries and stack buckets cost |unique| not nnz each."""
+        indices = np.asarray(csr.indices)
+        nnz_row = np.diff(np.asarray(csr.indptr))
+        rows_of = np.repeat(np.arange(csr.shape[0]), nnz_row)
+        nblk16 = -(-csr.shape[1] // 16)
+        u = np.unique(rows_of.astype(np.int64) * nblk16 + indices // 16)
+        return u // nblk16, u % nblk16, rows_of
+
+    @staticmethod
     def from_csr(
         csr,
         dtype=jnp.float32,
@@ -262,12 +287,14 @@ class BandedDense:
         max_blocks: int = 2048,
         max_inflation: float = 8.0,
         bw: int = None,
+        _rb16=None,
     ) -> "BandedDense":
         """``bw`` is the column-block granularity: 128 gathers the widest
         rows but 3-D supports (short per-plane runs) are only dense at
-        16-32; when None, the cheapest of {128, 32, 16} is chosen."""
+        16-32; when None, the cheapest of {128, 32, 16} is chosen.
+        ``_rb16``: optional precomputed ``_row_blocks16(csr)`` (shared
+        across rows_per_tile retries)."""
         n, ncols = csr.shape
-        indptr = np.asarray(csr.indptr)
         indices = np.asarray(csr.indices)
         vals = np.asarray(csr.data)
         nnz = len(indices)
@@ -275,9 +302,24 @@ class BandedDense:
             raise BandedUnsupported("empty matrix")
         r = rows_per_tile
         t = -(-n // r)
-        nnz_row = np.diff(indptr)
-        rows_of = np.repeat(np.arange(n), nnz_row)
+        if _rb16 is None:
+            _rb16 = BandedDense._row_blocks16(csr)
+        urow16, ublk16, rows_of = _rb16
         tid = rows_of // r
+
+        # coarsen the shared row-level pairs to tile granularity
+        nblk16 = -(-ncols // 16)
+        u16 = np.unique((urow16 // r) * nblk16 + ublk16)
+        ut16, ub16 = u16 // nblk16, u16 % nblk16
+
+        def tile_blocks(width):
+            """(tile, block) pairs + per-tile counts at ``width``."""
+            f = width // 16
+            nblk_w = -(-nblk16 // f)
+            uw = np.unique(ut16 * nblk_w + ub16 // f)
+            ut_w, ub_w = uw // nblk_w, uw % nblk_w
+            counts_w = np.bincount(ut_w, minlength=t)
+            return ut_w, ub_w, counts_w
 
         if bw is None:
             # pick the block width minimizing slab bytes (gather rows
@@ -285,14 +327,8 @@ class BandedDense:
             # near-tie by scanning from wide to narrow)
             best, best_cost = None, None
             for cand in (LANES, 32, 16):
-                kk = tid.astype(np.int64) * (-(-ncols // cand)) + (
-                    indices // cand
-                )
-                gg = int(
-                    np.bincount(
-                        np.unique(kk) // (-(-ncols // cand)), minlength=t
-                    ).max(initial=1)
-                )
+                _, _, counts_c = tile_blocks(cand)
+                gg = int(counts_c.max(initial=1))
                 cost = t * r * gg * cand
                 if best_cost is None or cost < 0.7 * best_cost:
                     best, best_cost = cand, cost
@@ -300,10 +336,8 @@ class BandedDense:
 
         # distinct bw-wide column blocks per tile (sorted, deduped)
         nblk = -(-ncols // bw)
-        key = tid.astype(np.int64) * nblk + indices // bw
-        ukey = np.unique(key)
-        ut, ub = ukey // nblk, ukey % nblk
-        counts = np.bincount(ut, minlength=t)
+        ut, ub, counts = tile_blocks(bw)
+        ukey = ut * nblk + ub
         g = int(counts.max(initial=1))
         if g > max_blocks:
             raise BandedUnsupported(
@@ -328,12 +362,12 @@ class BandedDense:
         ekey = tid.astype(np.int64) * nblk + indices // bw
         slot = np.searchsorted(ukey, ekey)
         local_slot = slot - starts[tid]
-        slabs = np.zeros((t, r, g * bw), dtype=np.float64)
+        slabs = np.zeros((t, r, g * bw), dtype=np.dtype(jnp.dtype(dtype).name))
         slabs[tid, rows_of % r, local_slot * bw + indices % bw] = vals
 
         x2d_rows = nblk
         return BandedDense(
-            slabs=jnp.asarray(slabs, dtype=dtype),
+            slabs=jnp.asarray(slabs),
             q=jnp.asarray(q, dtype=jnp.int32),
             shape=(int(n), int(ncols)),
             nnz=int(nnz),

@@ -167,9 +167,8 @@ class CSR:
     # ------------------------------------------------------------------
     def to_dense(self) -> np.ndarray:
         out = np.zeros(self.shape)
-        for i in range(self.nrows):
-            lo, hi = self.indptr[i], self.indptr[i + 1]
-            out[i, self.indices[lo:hi]] += self.data[lo:hi]
+        rows = np.repeat(np.arange(self.nrows), self.row_nnz())
+        np.add.at(out, (rows, self.indices), self.data)
         return out
 
     def matvec(self, x: np.ndarray) -> np.ndarray:
