@@ -16,7 +16,7 @@ OUT = ROOT / "tpu_amg" / "ops" / "libamg_native.so"
 def build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(SRC), "-o", str(OUT),
+        "-pthread", str(SRC), "-o", str(OUT),
     ]
     print(" ".join(cmd))
     result = subprocess.run(cmd, capture_output=True, text=True)

@@ -82,6 +82,11 @@ def _try_load():
         ctypes.c_int64, _i64p, _f64p, ctypes.c_double, ctypes.c_double,
         _u8p, _f64p,
     ]
+    lib.affinity_dist.restype = None
+    lib.affinity_dist.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, _f64p, _f64p, _f64p, ctypes.c_int64,
+        _f64p,
+    ]
     lib.best_moves.restype = ctypes.c_int64
     lib.best_moves.argtypes = [
         ctypes.c_int64, _i64p, _i32p, _f64p, _i64p, _i64p, _i64p,
@@ -171,6 +176,25 @@ def bfs_reach(indptr, indices, n, max_depth):
         n, indptr, indices, max_depth, out_indptr, out_indices
     )
     return out_indptr, out_indices
+
+
+def affinity_dist(reach_indptr, reach_indices, v, wv, norms):
+    """Affinity distances over the reach pattern (threaded single pass;
+    replaces the chunked gather+einsum which materialized (chunk, k)
+    temporaries per slice)."""
+    lib = _try_load()
+    assert lib is not None
+    reach_indptr = np.ascontiguousarray(reach_indptr, np.int64)
+    reach_indices = np.ascontiguousarray(reach_indices, np.int32)
+    v = np.ascontiguousarray(v, np.float64)
+    wv = np.ascontiguousarray(wv, np.float64)
+    norms = np.ascontiguousarray(norms, np.float64)
+    dist = np.zeros(len(reach_indices), dtype=np.float64)
+    lib.affinity_dist(
+        len(reach_indptr) - 1, reach_indptr, reach_indices, v, wv, norms,
+        v.shape[1], dist,
+    )
+    return dist
 
 
 def strength_filter(indptr, dist, theta, alpha):

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -329,6 +330,47 @@ int64_t best_moves(
     }
   }
   return count;
+}
+
+// Affinity distances over a precomputed neighborhood pattern: for each
+// edge (i, j) of the reach CSR, rho2 = (v_i . wv_j)^2 / (norm_i norm_j),
+// dist = 2 sqrt(max(0, 1 - rho2)).  V/WV are (n, k) row-major; norms are
+// the precomputed diagonal dots v_i . wv_i.  Threaded over row ranges
+// (disjoint output slices).
+void affinity_dist(int64_t n, const int64_t* reach_indptr,
+                   const int32_t* reach_indices, const double* v,
+                   const double* wv, const double* norms, int64_t k,
+                   double* dist) {
+  int nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (n < 4096) nthreads = 1;
+  auto worker = [=](int64_t row_lo, int64_t row_hi) {
+    for (int64_t i = row_lo; i < row_hi; ++i) {
+      const double* vi = v + i * k;
+      double ni = norms[i];
+      for (int64_t e = reach_indptr[i]; e < reach_indptr[i + 1]; ++e) {
+        int64_t j = reach_indices[e];
+        const double* wvj = wv + j * k;
+        double dot = 0.0;
+        for (int64_t c = 0; c < k; ++c) dot += vi[c] * wvj[c];
+        double rho2 = dot * dot / (ni * norms[j]);
+        double rest = 1.0 - rho2;
+        dist[e] = 2.0 * std::sqrt(rest > 0.0 ? rest : 0.0);
+      }
+    }
+  };
+  if (nthreads == 1) {
+    worker(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t step = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * step, hi = std::min(n, lo + step);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

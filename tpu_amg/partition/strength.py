@@ -199,12 +199,23 @@ def strength_graph(
     wv = near_null * w  # (n, k)
     norms = np.maximum(np.einsum("ik,ik->i", near_null, wv), 1e-30)
 
-    dist = np.empty(len(rows))
-    for s in range(0, len(rows), chunk):
-        e = min(s + chunk, len(rows))
-        dots = np.einsum("ek,ek->e", near_null[rows[s:e]], wv[cols[s:e]])
-        rho2 = dots * dots / (norms[rows[s:e]] * norms[cols[s:e]])
-        dist[s:e] = 2.0 * np.sqrt(np.maximum(0.0, 1.0 - rho2))
+    dist = None
+    try:
+        from tpu_amg.ops import native
+
+        if native.available():
+            dist = native.affinity_dist(
+                reach.indptr, reach.indices, near_null, wv, norms
+            )
+    except Exception:
+        dist = None
+    if dist is None:
+        dist = np.empty(len(rows))
+        for s in range(0, len(rows), chunk):
+            e = min(s + chunk, len(rows))
+            dots = np.einsum("ek,ek->e", near_null[rows[s:e]], wv[cols[s:e]])
+            rho2 = dots * dots / (norms[rows[s:e]] * norms[cols[s:e]])
+            dist[s:e] = 2.0 * np.sqrt(np.maximum(0.0, 1.0 - rho2))
 
     # --- per-node filter + contrast rescale ---
     n = a.nrows
@@ -215,11 +226,15 @@ def strength_graph(
             keep_mask, weights_all = native.strength_filter(
                 reach.indptr, dist, THETA, ALPHA
             )
-            adj = sps.coo_matrix(
-                (weights_all[keep_mask], (rows[keep_mask], cols[keep_mask])),
+            # the reach pattern is row-sorted and duplicate-free, so the
+            # filtered edges already are too: build the CSR directly
+            kept_per_row = np.bincount(rows[keep_mask], minlength=n)
+            indptr = np.zeros(n + 1, dtype=reach.indptr.dtype)
+            np.cumsum(kept_per_row, out=indptr[1:])
+            adj = sps.csr_matrix(
+                (weights_all[keep_mask], cols[keep_mask], indptr),
                 shape=(n, n),
-            ).tocsr()
-            adj.sum_duplicates()
+            )
             return Graph(adj=adj)
     except Exception:
         pass
