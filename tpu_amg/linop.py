@@ -196,16 +196,19 @@ def _pick_format(
 
     banded_mat = None
     mean_nnz = csr.nnz / max(csr.nrows, 1)
-    # rectangular transfers (P) with a few hub rows pad ELL terribly:
-    # a 262k x 55k smoothed-SA prolongation with max-row 52 / mean 8.3
+    # operators whose hub rows pad ELL badly are gather-hostile: a
+    # 262k x 55k smoothed-SA prolongation with max-row 52 / mean 8.3
     # costs 98 ms as an ELL gather (13.6M padded slots at the scalar-
-    # gather floor) vs ~1 ms as windowed slabs
+    # gather floor) vs ~1 ms as windowed slabs.  Square operators get
+    # first shot at WELL (windowed Pallas gather, ~memory speed); slabs
+    # serve rectangular transfers and WELL-unsupported square levels.
     ell_padded = int(csr.row_nnz().max(initial=0)) * csr.nrows if csr.nnz else 0
+    well = try_well()
     gather_hostile = (
-        not csr.is_square
-        and csr.nnz > 0
+        csr.nnz > 0
         and ell_padded > 3.0 * csr.nnz
         and mean_nnz >= 2.0
+        and (well is None or not csr.is_square)
     )
     if (mean_nnz >= 24.0 or gather_hostile) and csr.nnz > 0:
         from tpu_amg.sparse.banded import BandedDense, BandedUnsupported
@@ -267,10 +270,9 @@ def _pick_format(
             else:
                 slots = int(np.prod(banded_mat.slabs.shape))
             if slots > 3.0 * max(csr.nnz, 1):
-                return banded_mat, try_well()
+                return banded_mat, well
         return banded_mat, None
 
-    well = try_well()
     if well is None and csr.block_size > 1 and csr.is_square:
         from tpu_amg.sparse.bsr import BSR
 
