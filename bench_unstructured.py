@@ -58,6 +58,12 @@ def main():
         a,
         SolverConfig(
             coarsening_near_null_dim=8,
+            # cd=2 on a scalar isotropic problem: oc 1.64 vs 3.00 at the
+            # reference-default cd=4, and the best measured solve time
+            # (sweep in MEASURED.md); one smoothing step halves cycle cost
+            # for a modest iteration increase (26 -> 32)
+            interp_near_null_dim=2,
+            smoothing_steps=1,
             smoothing_iters=10,
             coarsest_dim=1500,
             dtype=jnp.float32,

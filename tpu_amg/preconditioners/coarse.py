@@ -113,6 +113,18 @@ class DensePinvSolver(LinearOperator):
 
 def build_coarse_solver(kind: str, a, dtype=None) -> LinearOperator:
     """Reference ``CoarseSolverKind`` dispatch (coarse_solvers.rs:14-42)."""
+    n = a.shape[0]
+    if n > 20_000:
+        # n^2 f64 densification at this size is multi-GB and LAPACK potrf
+        # has been observed to segfault near the int32 element boundary —
+        # fail with guidance instead of crashing the process
+        from tpu_amg.errors import MultigridBuildError
+
+        raise MultigridBuildError(
+            f"coarsest level has {n} dofs — too large for a dense direct "
+            "solve. Lower max_levels restrictions or raise coarsest_dim "
+            "so the hierarchy coarsens further."
+        )
     if kind == "cholesky":
         s = DenseCholeskySolver.build(a)
         if dtype is not None:
