@@ -138,7 +138,9 @@ def cast_preconditioner(pc: LinearOperator, mode: str) -> LinearOperator:
     if mode in (None, "none"):
         return pc
     if mode in ("f32", "f64"):
-        return cast_operator(pc, jnp.dtype(mode))
+        return cast_operator(
+            pc, jnp.float32 if mode == "f32" else jnp.float64
+        )
     if mode == "bf16_values":
         return cast_operator(pc, jnp.bfloat16)
     if mode == "bf16":

@@ -222,7 +222,21 @@ class BlockSmoother(LinearOperator):
             # the trtri+gemm 60% of the factor cost.  The device path
             # keeps inverses (TPU applies them as batched matmuls).
             kind = "chol" if host_only else "inv"
-            factor = _spd_cholesky if host_only else _spd_inverse
+            if host_only:
+                factor = _spd_cholesky
+            else:
+                # factor in the target precision: the inverse is applied
+                # as an f32 batched matmul on device anyway, and f32
+                # LAPACK is ~2x f64 on the block-Cholesky that dominates
+                # find_near_null's setup phase
+                fdt = (
+                    np.float32
+                    if jnp.dtype(dtype).itemsize == 4
+                    else np.float64
+                )
+
+                def factor(b, _fdt=fdt):
+                    return _spd_inverse(np.ascontiguousarray(b, _fdt))
             if (
                 prev is not None
                 and kind in prev
