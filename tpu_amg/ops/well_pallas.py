@@ -64,6 +64,7 @@ def _taa_lane(table, idx):
 def _kernel(
     # scalar prefetch
     q_ref,
+    gb_ref,
     # blocked inputs (leading tile axis of size 1)
     amap_ref,
     lam_ref,
@@ -76,20 +77,20 @@ def _kernel(
     x_ref,
     # output
     y_ref,
-    # scratch (dma mode only)
-    win_ref=None,
-    sem_ref=None,
-    *,
+    # scratch: [win_ref, sem_ref (dma mode)], table_s, gath_s
+    *scratch,
     win_rows: int,
     n_passes: int,
     merge_rounds: int,
     vregs: int,
     dma_window: bool,
+    mode: int = 2,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
+    t = pl.program_id(0)
     if dma_window:
-        t = pl.program_id(0)
+        win_ref, sem_ref, table_s, gath_s = scratch
         qt = q_ref[t]
         dma = pltpu.make_async_copy(
             x_ref.at[pl.ds(qt, win_rows), :], win_ref, sem_ref
@@ -101,30 +102,69 @@ def _kernel(
             return win_ref[g * 8 : g * 8 + 8, :]
 
     else:
+        table_s, gath_s = scratch
 
         def win_slice(g):
             return x_ref[0, g * 8 : g * 8 + 8, :]
 
     for f in range(vregs):
+        # per-vreg dynamic bounds: the grid loop runs on the scalar core,
+        # so pl.when-skipped groups/passes cost ~nothing (sparse/well.py)
+        base = (t * vregs + f) * 3  # gb is flattened 1-D for SMEM packing
+        glo = gb_ref[base]
+        ghi = gb_ref[base + 1]
+        phi = gb_ref[base + 2]
+
         # ---- stage A: dedup table --------------------------------------
         a32 = amap_ref[0, f].astype(jnp.int32)  # (8, 128) window-row ids
-        table = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
         eta = a32 & 7
         grp = a32 >> 3
-        for g in range((win_rows + 7) // 8):
-            part = _taa_sub(win_slice(g), eta)
-            table = jnp.where(grp == g, part, table)
+        n_groups = (win_rows + 7) // 8
+        if mode == 0:
+            table = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            for g in range(n_groups):
+                part = _taa_sub(win_slice(g), eta)
+                table = jnp.where(grp == g, part, table)
+        else:
+            table_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            for g in range(n_groups):
+
+                def fill(g=g):
+                    part = _taa_sub(win_slice(g), eta)
+                    pltpu.store(table_s, part, mask=grp == g)
+
+                if mode == 2:
+                    pl.when((glo <= g) & (g <= ghi))(fill)
+                else:
+                    fill()
+            table = table_s[:]
 
         # ---- stage B: per-slot gather ----------------------------------
         r0 = f * TABLE_ROWS
         lam = lam_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
         pid = pid_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
-        gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
-        for p in range(n_passes):
-            rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
-            rowsel = _taa_sub(table, rho_p)
-            val_p = _taa_lane(rowsel, lam)
-            gathered = jnp.where(pid == p, val_p, gathered)
+        if mode == 0:
+            gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            for p in range(n_passes):
+                rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
+                rowsel = _taa_sub(table, rho_p)
+                val_p = _taa_lane(rowsel, lam)
+                gathered = jnp.where(pid == p, val_p, gathered)
+        else:
+            gath_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            for p in range(n_passes):
+
+                def gather(p=p):
+                    rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
+                    rowsel = _taa_sub(table, rho_p)
+                    val_p = _taa_lane(rowsel, lam)
+                    pltpu.store(gath_s, val_p, mask=pid == p)
+
+                if mode == 2:
+                    pl.when(p < phi)(gather)
+                else:
+                    gather()
+            gathered = gath_s[:]
 
         contrib = data_ref[0, r0 : r0 + 8, :] * gathered
 
@@ -160,10 +200,12 @@ def _kernel(
         "vregs",
         "dma_window",
         "interpret",
+        "mode",
     ),
 )
 def _well_spmv_call(
     q,
+    gb,
     amap,
     lam,
     pid,
@@ -179,6 +221,7 @@ def _well_spmv_call(
     vregs: int,
     dma_window: bool = False,
     interpret: bool = False,
+    mode: int = 2,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -188,16 +231,20 @@ def _well_spmv_call(
     def block(shape):
         return pl.BlockSpec(
             (1,) + shape,
-            lambda t, q_ref: (t,) + (0,) * len(shape),
+            lambda t, q_ref, gb_ref: (t,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
+    vreg_scratch = [
+        pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # table_s
+        pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # gath_s
+    ]
     if dma_window:
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x2d stays in HBM
         scratch = [
             pltpu.VMEM((win_rows, LANES), data.dtype),
             pltpu.SemaphoreType.DMA,
-        ]
+        ] + vreg_scratch
         x_arg = x2d
     else:
         # pre-gathered per-tile windows: an efficient XLA row gather
@@ -208,10 +255,10 @@ def _well_spmv_call(
                 n_tiles, win_rows, LANES
             )
         x_spec = block((win_rows, LANES))
-        scratch = []
+        scratch = list(vreg_scratch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             block((vregs, TABLE_ROWS, LANES)),  # amap
@@ -233,6 +280,7 @@ def _well_spmv_call(
         merge_rounds=merge_rounds,
         vregs=vregs,
         dma_window=dma_window,
+        mode=mode,
     )
     nnz_slots = data.size
     # The package enables jax x64 globally (f64 host numerics); Mosaic
@@ -257,12 +305,17 @@ def _well_spmv_call(
                 ),
                 transcendentals=0,
             ),
-        )(q, amap, lam, pid, rho, data, cont, route, x_arg)
+        )(q, gb.reshape(-1), amap, lam, pid, rho, data, cont, route, x_arg)
     return out
 
 
-def well_spmv(well, x: jax.Array, interpret=None, dma_window=False):
+def well_spmv(well, x: jax.Array, interpret=None, dma_window=False,
+              mode=None):
     """y = A @ x for a WELL-formatted matrix (see sparse/well.py)."""
+    import os
+
+    if mode is None:
+        mode = int(os.environ.get("TPU_AMG_WELL_MODE", "2"))
     n2d = well.x2d_rows
     xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)
@@ -276,10 +329,11 @@ def well_spmv(well, x: jax.Array, interpret=None, dma_window=False):
             vregs=well.vregs_per_tile,
             dma_window=bool(dma_window),
             interpret=interp,
+            mode=int(mode),
         )
 
     operands = (
-        well.q, well.amap, well.lam, well.pid, well.rho, well.data,
+        well.q, well.gb, well.amap, well.lam, well.pid, well.rho, well.data,
         well.cont, well.route, x2d,
     )
     if interpret is None:

@@ -80,6 +80,14 @@ class WELL:
       data  (T, M, 128)       dtype  entry values (0 in padded slots)
       cont  (T, MR, M, 128)   int8   block-merge masks per round
       route (T, M, 128)       int8   output lane → source block lane
+      gb    (T, F, 3)         int32  per-vreg [grp_lo, grp_hi, n_passes]
+
+    ``gb`` carries per-vreg *dynamic* bounds: the window-group range the
+    vreg's table actually touches and the number of gather passes its
+    entries need.  The kernel's grid loop runs on the TPU scalar core, so
+    ``pl.when``-predicated groups/passes are real branches — skipped
+    iterations cost ~nothing, making stage A/B cost proportional to each
+    vreg's actual span/collision count instead of the global maxima.
     """
 
     q: jax.Array
@@ -90,6 +98,7 @@ class WELL:
     data: jax.Array
     cont: jax.Array
     route: jax.Array
+    gb: jax.Array
     extra_rows: jax.Array
     extra_cols: jax.Array
     extra_vals: jax.Array
@@ -347,6 +356,23 @@ class WELL:
                          dtype=np.int8)
         route[np.arange(n) // g, np.arange(n) % g] = b0.astype(np.int8)
 
+        # ---- per-vreg dynamic bounds (kernel skip predicates) -----------
+        n_groups_win = (win_rows + TABLE_ROWS - 1) // TABLE_ROWS
+        q_of_v = np.repeat(q, f)[:nv_pad]
+        has_pairs = vmax >= vmin  # empty vregs keep the sentinel init
+        glo = np.where(
+            has_pairs, vmin // LANES - q_of_v, n_groups_win
+        ) // TABLE_ROWS
+        ghi = np.where(has_pairs, vmax // LANES - q_of_v, -1) // TABLE_ROWS
+        glo = np.clip(glo, 0, n_groups_win - 1)
+        ghi = np.clip(ghi, -1, n_groups_win - 1)
+        p_hi = np.zeros(nv_pad, dtype=np.int64)
+        if len(ke):
+            np.maximum.at(p_hi, vm_k // TABLE_ROWS, pass_k + 1)
+        gb = np.stack(
+            [glo, np.where(has_pairs, ghi, -1), p_hi], axis=-1
+        ).astype(np.int32)
+
         # ---- extras -----------------------------------------------------
         ex = np.flatnonzero(~keep)
 
@@ -389,6 +415,7 @@ class WELL:
                 (mr, m_rows, LANES),
             ),
             route=tile(routef, (m_rows, LANES)),
+            gb=jnp.asarray(gb.reshape(t_count, f, 3), dtype=jnp.int32),
             extra_rows=jnp.asarray(rows_of[ex], dtype=jnp.int32),
             extra_cols=jnp.asarray(indices[ex], dtype=jnp.int32),
             extra_vals=jnp.asarray(vals[ex], dtype=dtype),
