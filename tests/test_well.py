@@ -87,6 +87,63 @@ class TestWellCorrectness:
             WELL.from_csr(CSR.from_scipy(m))
 
 
+class TestWellModes:
+    """All kernel variants must agree — pins the gb (glo/ghi/p_hi)
+    dynamic-bounds construction that only mode 2 consumes."""
+
+    @pytest.mark.parametrize("mode", [0, 1, 2])
+    def test_mode_equivalence(self, mode):
+        from tpu_amg.ops.well_pallas import well_spmv
+
+        for sp, seed in ((_random_banded(2000, 400, 4, 9, seed=1), 1),
+                         (_random_banded(600, 60, 2, 30, seed=2), 2)):
+            sp = sp.tocsr()
+            sp.sort_indices()
+            w = WELL.from_csr(CSR.from_scipy(sp))
+            x = np.random.default_rng(seed).standard_normal(
+                sp.shape[1]).astype(np.float32)
+            y = np.asarray(well_spmv(w, np.asarray(x), mode=mode))
+            ref = sp @ x
+            np.testing.assert_allclose(
+                y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
+            )
+
+    def test_gb_bounds_cover_touched_groups(self):
+        # reconstruct each nonzero slot's window row through
+        # (pid, rho, lam, amap) and assert it falls inside gb's group
+        # range, and its pass id under gb's pass bound
+        sp = _random_banded(2000, 400, 4, 9, seed=1).tocsr()
+        sp.sort_indices()
+        w = WELL.from_csr(CSR.from_scipy(sp))
+        nv = np.asarray(w.gb).reshape(-1, 3).shape[0]
+        gb = np.asarray(w.gb).reshape(nv, 3)
+        amap = np.asarray(w.amap).reshape(nv, 8, 128)
+        data = np.asarray(w.data).reshape(nv, 8, 128)
+        pid = np.asarray(w.pid).reshape(nv, 8, 128).astype(np.int64)
+        lam = np.asarray(w.lam).reshape(nv, 8, 128).astype(np.int64)
+        P = w.n_passes
+        rho = (
+            np.asarray(w.rho)
+            .reshape(-1, P, w.vregs_per_tile, 8, 128)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nv, P, 8, 128)
+            .astype(np.int64)
+        )
+        s_idx = np.arange(8)[None, :, None]
+        l_idx = np.arange(128)[None, None, :]
+        v_idx = np.arange(nv)[:, None, None]
+        trow = rho[v_idx, pid, s_idx, l_idx]
+        wrow = amap[v_idx, trow, lam].astype(np.int64)
+        grp = wrow >> 3
+        touched = data != 0
+        for v in range(nv):
+            if not touched[v].any():
+                continue
+            g = grp[v][touched[v]]
+            assert g.min() >= gb[v, 0] and g.max() <= gb[v, 1]
+            assert pid[v][touched[v]].max() < gb[v, 2]
+
+
 class TestWellOperator:
     def test_sparse_operator_uses_well(self):
         import jax.numpy as jnp

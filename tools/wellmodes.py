@@ -1,4 +1,4 @@
-"""A/B harness for WELL kernel variants (scratch, not shipped).
+"""A/B harness for WELL kernel variants (dev A/B harness).
 Usage: python scratch_wellmodes.py [side] [reps]"""
 import sys
 import time

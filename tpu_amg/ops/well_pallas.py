@@ -314,8 +314,14 @@ def well_spmv(well, x: jax.Array, interpret=None, dma_window=False,
     """y = A @ x for a WELL-formatted matrix (see sparse/well.py)."""
     import os
 
+    # Kernel variant (hardware A/B, 262k Delaunay, TPU v5e): mode 0
+    # (select chains) 403 us, mode 1 (masked scratch stores) 399 us,
+    # mode 2 (pl.when dynamic bounds) 1764 us — the scalar-core branches
+    # pl.when emits cost far more than the masked work they skip, so the
+    # dynamic-bounds variant loses 4.4x and mode 1 is the default.
+    # TPU_AMG_WELL_MODE overrides for A/B runs only.
     if mode is None:
-        mode = int(os.environ.get("TPU_AMG_WELL_MODE", "2"))
+        mode = int(os.environ.get("TPU_AMG_WELL_MODE", "1"))
     n2d = well.x2d_rows
     xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)

@@ -359,11 +359,15 @@ class WELL:
         # ---- per-vreg dynamic bounds (kernel skip predicates) -----------
         n_groups_win = (win_rows + TABLE_ROWS - 1) // TABLE_ROWS
         q_of_v = np.repeat(q, f)[:nv_pad]
-        has_pairs = vmax >= vmin  # empty vregs keep the sentinel init
+        has_pairs = vmax >= vmin
+        # divide only the real branch by TABLE_ROWS; the empty-vreg
+        # sentinels (n_groups_win / -1) are already in group units
         glo = np.where(
-            has_pairs, vmin // LANES - q_of_v, n_groups_win
-        ) // TABLE_ROWS
-        ghi = np.where(has_pairs, vmax // LANES - q_of_v, -1) // TABLE_ROWS
+            has_pairs, (vmin // LANES - q_of_v) // TABLE_ROWS, n_groups_win
+        )
+        ghi = np.where(
+            has_pairs, (vmax // LANES - q_of_v) // TABLE_ROWS, -1
+        )
         glo = np.clip(glo, 0, n_groups_win - 1)
         ghi = np.clip(ghi, -1, n_groups_win - 1)
         p_hi = np.zeros(nv_pad, dtype=np.int64)
