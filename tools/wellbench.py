@@ -1,5 +1,7 @@
 """Focused WELL SpMV bench (TPU) — scratch harness, not shipped."""
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import numpy as np

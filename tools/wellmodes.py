@@ -1,6 +1,8 @@
 """A/B harness for WELL kernel variants (dev A/B harness).
 Usage: python scratch_wellmodes.py [side] [reps]"""
 import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import time
 
 import numpy as np
