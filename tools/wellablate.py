@@ -244,8 +244,11 @@ def main():
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    import os
     ap = unstructured_fem_system(side)
-    well = WELL.from_csr(CSR.from_scipy(ap), dtype=jnp.float32)
+    vpt = int(os.environ.get("VPT", "8"))
+    well = WELL.from_csr(CSR.from_scipy(ap), dtype=jnp.float32,
+                         vregs_per_tile=vpt)
     print(f"# {well}", flush=True)
     n2d = well.x2d_rows
     x = np.random.default_rng(0).normal(size=ap.shape[0])

@@ -275,6 +275,9 @@ class BandedCholeskySolver(LinearOperator):
         return z
 
     def mm(self, xs):
+        from tpu_amg.shard_utils import ensure_replicated
+
+        xs = ensure_replicated(xs)  # replicated coarsest-level solve
         squeeze = xs.ndim == 1
         if squeeze:
             xs = xs[:, None]

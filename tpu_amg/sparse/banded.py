@@ -72,6 +72,9 @@ class BandedDense:
         return self.slabs.dtype
 
     def _windows(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        x = ensure_replicated(x)  # single-chip format: gather once
         t, r, w = self.slabs.shape
         pad = self.x2d_rows * self.bw - x.shape[0]
         x2d = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)).reshape(
@@ -105,6 +108,9 @@ class BandedDense:
     # block-dense, so apply P's slabs backwards: per tile one MXU
     # contraction then a 128-wide row scatter-add into the output.
     def rmv(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        x = ensure_replicated(x)
         t, r, w = self.slabs.shape
         xp = jnp.pad(x.astype(self.dtype), (0, t * r - x.shape[0]))
         contrib = jnp.einsum(
@@ -118,6 +124,9 @@ class BandedDense:
         return out2d.reshape(-1)[: self.ncols]
 
     def rmm(self, xs: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        xs = ensure_replicated(xs)
         t, r, w = self.slabs.shape
         m = xs.shape[1]
         xp = jnp.pad(
@@ -405,14 +414,23 @@ class BandedStack:
         return self.parts[0].dtype
 
     def mv(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        x = ensure_replicated(x)
         y = jnp.concatenate([p.mv(x) for p in self.parts])
         return jnp.take(y, self.inv, axis=0)
 
     def mm(self, xs: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        xs = ensure_replicated(xs)
         y = jnp.concatenate([p.mm(xs) for p in self.parts])
         return jnp.take(y, self.inv, axis=0)
 
     def rmv(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        x = ensure_replicated(x)
         xs = jnp.take(x, self.rows_sorted, axis=0)
         out = None
         lo = 0
@@ -423,6 +441,9 @@ class BandedStack:
         return out
 
     def rmm(self, x: jax.Array) -> jax.Array:
+        from tpu_amg.shard_utils import ensure_replicated
+
+        x = ensure_replicated(x)
         xs = jnp.take(x, self.rows_sorted, axis=0)
         out = None
         lo = 0
