@@ -170,6 +170,18 @@ def make_kernel(win_rows, n_passes, merge_rounds, vregs, ablate):
 
 
 def call_variant(well, x2d_rows, ablate):
+    if "i32m" in ablate:
+        import dataclasses as _dc
+
+        well = _dc.replace(
+            well,
+            amap=well.amap.astype(jnp.int32),
+            lam=well.lam.astype(jnp.int32),
+            pid=well.pid.astype(jnp.int32),
+            rho=well.rho.astype(jnp.int32),
+            cont=well.cont.astype(jnp.int32),
+            route=well.route.astype(jnp.int32),
+        )
     win_rows = well.win_rows
     vregs = well.vregs_per_tile
     mrows = vregs * 8

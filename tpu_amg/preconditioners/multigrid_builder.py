@@ -53,6 +53,12 @@ class MultigridConfig:
     dtype: object = jnp.float64
     prefer_dia: bool = True  # DIA fast path for diagonal-structured levels
     dense_threshold: int = 2048  # densify small coarse levels (MXU matvec)
+    # RCM-reorder coarse Galerkin levels whose aggregate-order bandwidth
+    # defeats the windowed device formats (WELL/banded slabs); the
+    # permutation folds into R/P so the cycle is exactly similarity-
+    # equivalent.  Levels that are DIA-eligible or dense keep their
+    # ordering.
+    reorder_levels: bool = True
 
     def _build_smoother(self, a, nn, w, a_op):
         from tpu_amg.linop import DiagonalOperator
@@ -103,13 +109,59 @@ class MultigridConfig:
             raise ValueError(f"unknown smoother {self.smoother!r}")
         return DiagonalOperator(diag=jnp.asarray(diag, dtype=self.dtype))
 
-    def build(self, hierarchy: Hierarchy) -> Multigrid:
+    def _level_perms(self, hierarchy: Hierarchy):
+        """Per-level RCM permutations (None = keep ordering).
+
+        Only non-dense, non-DIA intermediate levels are touched: cd=1 /
+        hub-row Galerkin operators inherit aggregate ordering whose
+        bandwidth defeats WELL and the banded slabs (the reference's CSR
+        kernel handles such rows for free, par_spmm.rs:37-84; on TPU the
+        fix is to restore bandedness)."""
         level_count = hierarchy.num_levels
+        perms = [None] * level_count
+        if not self.reorder_levels:
+            return perms
+        from tpu_amg.sparse.dia import try_from_csr
+        from tpu_amg.utils.reorder import (
+            bandwidth,
+            block_rcm_permutation,
+            permute_symmetric,
+        )
+
+        for lvl in range(1, level_count - 1):
+            a = hierarchy.get_op(lvl)
+            if a.nrows <= self.dense_threshold:
+                continue
+            if self.prefer_dia:
+                dia = try_from_csr(a, max_diags=160)
+                if (
+                    dia is not None
+                    and len(dia.offsets) * a.nrows <= 8.0 * max(a.nnz, 1)
+                ):
+                    continue  # structured level: slice-FMA path, keep order
+            perm = block_rcm_permutation(a)
+            if bandwidth(permute_symmetric(a, perm)) < 0.8 * bandwidth(a):
+                perms[lvl] = perm
+                logger.debug("level %d RCM adopted", lvl)
+        return perms
+
+    def build(self, hierarchy: Hierarchy) -> Multigrid:
+        from tpu_amg.utils.reorder import (
+            permute_cols,
+            permute_rows,
+            permute_symmetric,
+        )
+
+        level_count = hierarchy.num_levels
+        perms = self._level_perms(hierarchy)
         levels = []
         for lvl in range(level_count - 1):
             a = hierarchy.get_op(lvl)
             nn = hierarchy.get_near_null(lvl)
             w = hierarchy.get_nn_weights(lvl)
+            if perms[lvl] is not None:
+                a = permute_symmetric(a, perms[lvl])
+                nn = nn[perms[lvl]]
             if a.nrows <= self.dense_threshold:
                 # small coarse levels: dense matvec on the MXU beats any
                 # gather-based sparse path on TPU
@@ -127,12 +179,16 @@ class MultigridConfig:
                     dia_max_diags=160, dia_max_density=8.0,
                 )
             smoother = self._build_smoother(a, nn, w, a_op)
-            p_op = SparseOperator.from_csr(
-                hierarchy.get_interpolation(lvl), dtype=self.dtype
-            )
-            r_op = SparseOperator.from_csr(
-                hierarchy.get_restriction(lvl), dtype=self.dtype
-            )
+            p_csr = hierarchy.get_interpolation(lvl)
+            r_csr = hierarchy.get_restriction(lvl)
+            if perms[lvl] is not None:
+                p_csr = permute_rows(p_csr, perms[lvl])
+                r_csr = permute_cols(r_csr, perms[lvl])
+            if perms[lvl + 1] is not None:
+                p_csr = permute_cols(p_csr, perms[lvl + 1])
+                r_csr = permute_rows(r_csr, perms[lvl + 1])
+            p_op = SparseOperator.from_csr(p_csr, dtype=self.dtype)
+            r_op = SparseOperator.from_csr(r_csr, dtype=self.dtype)
             # Smoothed-SA restrictions have rows = 2/3-D aggregate blobs
             # whose 1-D column span defeats every windowed format; when R
             # landed on the ELL gather path but P is window-dense, apply
