@@ -130,9 +130,11 @@ class TestWellModes:
             .astype(np.int64)
         )
         s_idx = np.arange(8)[None, :, None]
-        l_idx = np.arange(128)[None, None, :]
         v_idx = np.arange(nv)[:, None, None]
-        trow = rho[v_idx, pid, s_idx, l_idx]
+        # the kernel's gather chain for slot (m, l) is
+        #   table[rho[pass, m, lam[m,l]], lam[m,l]]
+        # i.e. rho is consulted at the TABLE lane, not the slot lane
+        trow = rho[v_idx, pid, s_idx, lam]
         wrow = amap[v_idx, trow, lam].astype(np.int64)
         grp = wrow >> 3
         touched = data != 0

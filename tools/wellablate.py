@@ -83,8 +83,29 @@ def make_kernel(win_rows, n_passes, merge_rounds, vregs, ablate):
             def win_slice(g):
                 return x_ref[0, g * 8: g * 8 + 8, :]
 
+        if "streamonly" in ablate:
+            # pure pipeline/stream cost: touch every input block once,
+            # no converts/gathers/reduce
+            acc = data_ref[0, 0:8, :]
+            for f in range(1, vregs):
+                acc = acc + data_ref[0, f * 8:f * 8 + 8, :]
+            acc = acc + amap_ref[0, 0].astype(jnp.float32)
+            acc = acc + lam_ref[0, 0:8, :].astype(jnp.float32)
+            acc = acc + pid_ref[0, 0:8, :].astype(jnp.float32)
+            acc = acc + rho_ref[0, 0, 0:8, :].astype(jnp.float32)
+            acc = acc + cont_ref[0, 0, 0:8, :].astype(jnp.float32)
+            acc = acc + route_ref[0, 0:8, :].astype(jnp.float32)
+            y_ref[0, 0:8, :] = acc[:, :BLOCKS_PER_VROW]
+            for f in range(1, vregs):
+                y_ref[0, f * 8:f * 8 + 8, :] = acc[:, :BLOCKS_PER_VROW]
+            return
+
         for f in range(vregs):
-            a32 = amap_ref[0, f].astype(jnp.int32)
+            if "noconv" in ablate:
+                # skip all int8->int32 converts: fixed fake indices
+                a32 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) & 63
+            else:
+                a32 = amap_ref[0, f].astype(jnp.int32)
             eta = a32 & 7
             grp = a32 >> 3
             # stage A
@@ -97,15 +118,22 @@ def make_kernel(win_rows, n_passes, merge_rounds, vregs, ablate):
                     pltpu.store(table_s, part, mask=grp == g)
                 table = table_s[:]
             r0 = f * 8
-            lam = lam_ref[0, r0:r0 + 8, :].astype(jnp.int32)
-            pid = pid_ref[0, r0:r0 + 8, :].astype(jnp.int32)
+            if "noconv" in ablate:
+                lam = a32 & 127
+                pid = a32 & 3
+            else:
+                lam = lam_ref[0, r0:r0 + 8, :].astype(jnp.int32)
+                pid = pid_ref[0, r0:r0 + 8, :].astype(jnp.int32)
             # stage B
             if "noB" in ablate:
                 gathered = table
             else:
                 gath_s[:] = jnp.zeros((8, 128), dtype=data_ref.dtype)
                 for p in range(use_passes):
-                    rho_p = rho_ref[0, p, r0:r0 + 8, :].astype(jnp.int32)
+                    if "noconv" in ablate:
+                        rho_p = (a32 + p) & 7
+                    else:
+                        rho_p = rho_ref[0, p, r0:r0 + 8, :].astype(jnp.int32)
                     rowsel = _taa_sub(table, rho_p)
                     val_p = _taa_lane(rowsel, lam)
                     pltpu.store(gath_s, val_p, mask=pid == p)
@@ -157,14 +185,24 @@ def make_kernel(win_rows, n_passes, merge_rounds, vregs, ablate):
                 jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) * BLOCK,
                 LANES - BLOCK)
             cm = _taa_lane(red, cidx)
-            for k in range(merge_rounds):
-                shift = 1 << k
-                shifted = pltpu.roll(cm, LANES - shift, 1)
-                mask = cont_ref[0, k, r0:r0 + 8, :] != 0
-                cm = cm + jnp.where(mask, shifted, 0.0)
-            ridx = route_ref[0, r0:r0 + 8, :].astype(jnp.int32)
-            yv = _taa_lane(cm, ridx)
-            y_ref[0, r0:r0 + 8, :] = yv[:, :BLOCKS_PER_VROW]
+            if "nomerge" not in ablate:
+                for k in range(merge_rounds):
+                    shift = 1 << k
+                    shifted = pltpu.roll(cm, LANES - shift, 1)
+                    mask = cont_ref[0, k, r0:r0 + 8, :] != 0
+                    cm = cm + jnp.where(mask, shifted, 0.0)
+            if "noroute" in ablate:
+                yv = cm
+            else:
+                if "noconv" in ablate:
+                    ridx = a32 & 15
+                else:
+                    ridx = route_ref[0, r0:r0 + 8, :].astype(jnp.int32)
+                yv = _taa_lane(cm, ridx)
+            if "fullout" in ablate:
+                y_ref[0, r0:r0 + 8, :] = yv
+            else:
+                y_ref[0, r0:r0 + 8, :] = yv[:, :BLOCKS_PER_VROW]
 
     return kernel
 
@@ -218,7 +256,8 @@ def call_variant(well, x2d_rows, ablate):
             block((mrows, 128)),
             x_spec,
         ],
-        out_specs=block((mrows, BLOCKS_PER_VROW)),
+        out_specs=block((mrows, 128 if "fullout" in ablate
+                         else BLOCKS_PER_VROW)),
         scratch_shapes=scratch,
     )
     if vmem_x:
@@ -239,7 +278,9 @@ def call_variant(well, x2d_rows, ablate):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(
-                    (n_tiles, mrows, BLOCKS_PER_VROW), data.dtype),
+                    (n_tiles, mrows,
+                     128 if "fullout" in ablate else BLOCKS_PER_VROW),
+                    data.dtype),
                 grid_spec=grid_spec,
             )(jnp.asarray((np.asarray(well.q) // 8) * 8, jnp.int32)
               if vmem_x else well.q,

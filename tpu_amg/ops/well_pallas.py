@@ -73,7 +73,8 @@ def _kernel(
     data_ref,
     cont_ref,
     route_ref,
-    # x window: unblocked HBM x2d (dma mode) or blocked windows
+    # x window: unblocked HBM x2d (dma mode), whole VMEM-resident x2d
+    # (resident mode), or blocked pre-gathered windows
     x_ref,
     # output
     y_ref,
@@ -83,13 +84,13 @@ def _kernel(
     n_passes: int,
     merge_rounds: int,
     vregs: int,
-    dma_window: bool,
+    x_mode: str,
     mode: int = 2,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
     t = pl.program_id(0)
-    if dma_window:
+    if x_mode == "dma":
         win_ref, sem_ref, table_s, gath_s = scratch
         qt = q_ref[t]
         dma = pltpu.make_async_copy(
@@ -100,6 +101,16 @@ def _kernel(
 
         def win_slice(g):
             return win_ref[g * 8 : g * 8 + 8, :]
+
+    elif x_mode == "resident":
+        # x2d lives whole in VMEM; window starts are 8-aligned by
+        # construction (sparse/well.py), so each group slice is a
+        # sublane-aligned dynamic slice — no staging copy at all
+        table_s, gath_s = scratch
+        qt = pl.multiple_of(q_ref[t], 8)
+
+        def win_slice(g):
+            return x_ref[pl.ds(qt + g * 8, 8), :]
 
     else:
         table_s, gath_s = scratch
@@ -198,7 +209,7 @@ def _kernel(
         "n_passes",
         "merge_rounds",
         "vregs",
-        "dma_window",
+        "x_mode",
         "interpret",
         "mode",
     ),
@@ -219,7 +230,7 @@ def _well_spmv_call(
     n_passes: int,
     merge_rounds: int,
     vregs: int,
-    dma_window: bool = False,
+    x_mode: str = "blocked",
     interpret: bool = False,
     mode: int = 2,
 ):
@@ -239,12 +250,20 @@ def _well_spmv_call(
         pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # table_s
         pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # gath_s
     ]
-    if dma_window:
+    if x_mode == "dma":
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x2d stays in HBM
         scratch = [
             pltpu.VMEM((win_rows, LANES), data.dtype),
             pltpu.SemaphoreType.DMA,
         ] + vreg_scratch
+        x_arg = x2d
+    elif x_mode == "resident":
+        # whole x2d pinned in VMEM for the kernel's lifetime: windows
+        # are sliced in place (8-aligned q by construction) — no HBM
+        # re-reads, no staging, the big win for banded matrices whose
+        # windows overlap heavily between tiles
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = list(vreg_scratch)
         x_arg = x2d
     else:
         # pre-gathered per-tile windows: an efficient XLA row gather
@@ -279,7 +298,7 @@ def _well_spmv_call(
         n_passes=n_passes,
         merge_rounds=merge_rounds,
         vregs=vregs,
-        dma_window=dma_window,
+        x_mode=x_mode,
         mode=mode,
     )
     nnz_slots = data.size
@@ -309,7 +328,7 @@ def _well_spmv_call(
     return out
 
 
-def well_spmv(well, x: jax.Array, interpret=None, dma_window=False,
+def well_spmv(well, x: jax.Array, interpret=None, x_mode=None,
               mode=None):
     """y = A @ x for a WELL-formatted matrix (see sparse/well.py)."""
     import os
@@ -325,6 +344,14 @@ def well_spmv(well, x: jax.Array, interpret=None, dma_window=False,
     n2d = well.x2d_rows
     xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)
+    if x_mode is None:
+        # keep x2d whole in VMEM when it fits alongside the slab
+        # pipeline (ablation: kills the 143us/262k XLA window
+        # pre-gather AND runs the kernel 12% faster); cap overridable
+        # for A/B runs
+        cap_mb = float(os.environ.get("TPU_AMG_WELL_RESIDENT_MB", "8"))
+        x_bytes = n2d * LANES * jnp.dtype(well.data.dtype).itemsize
+        x_mode = "resident" if x_bytes <= cap_mb * 1e6 else "blocked"
 
     def call(interp, *args):
         return _well_spmv_call(
@@ -333,7 +360,7 @@ def well_spmv(well, x: jax.Array, interpret=None, dma_window=False,
             n_passes=well.n_passes,
             merge_rounds=well.merge_rounds,
             vregs=well.vregs_per_tile,
-            dma_window=bool(dma_window),
+            x_mode=str(x_mode),
             interpret=interp,
             mode=int(mode),
         )

@@ -154,13 +154,32 @@ class WELL:
     def from_csr(
         csr,
         dtype=jnp.float32,
-        vregs_per_tile: int = 8,
+        vregs_per_tile: int | None = None,
         max_passes: int = 4,
         max_win_rows: int = 128,
         max_spill_frac: float = 0.02,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
-        is not band-structured enough (callers fall back to ELL)."""
+        is not band-structured enough (callers fall back to ELL).
+
+        ``vregs_per_tile=None`` auto-sizes tiles: large tiles amortize
+        the Pallas pipeline's per-grid-step cost (hardware sweep at 262k
+        Delaunay: 8→326us, 16→284us, 32→247us, 64→360us — stage A's
+        window-group loop grows with the tile's column span), falling
+        back to smaller tiles when the wider window would blow the cap.
+        """
+        if vregs_per_tile is None:
+            err = None
+            for vpt in (32, 16, 8):
+                try:
+                    return WELL.from_csr(
+                        csr, dtype=dtype, vregs_per_tile=vpt,
+                        max_passes=max_passes, max_win_rows=max_win_rows,
+                        max_spill_frac=max_spill_frac,
+                    )
+                except WellUnsupported as e:
+                    err = e
+            raise err
         n, ncols = csr.shape
         indptr = np.asarray(csr.indptr, dtype=np.int64)
         indices = np.asarray(csr.indices, dtype=np.int64)
@@ -260,7 +279,9 @@ class WELL:
         tmin = vmin.reshape(t_count, f).min(axis=1)
         tmax = vmax.reshape(t_count, f).max(axis=1)
         tmax = np.maximum(tmax, tmin)
-        q = tmin // LANES
+        # 8-align window starts: the resident-x kernel mode slices the
+        # window out of a VMEM-pinned x2d with sublane-aligned pl.ds
+        q = (tmin // LANES) & ~np.int64(7)
         win_rows = int((tmax // LANES - q).max() + 1)
         if win_rows > max_win_rows:
             raise WellUnsupported(
@@ -271,6 +292,7 @@ class WELL:
         win_rows = -(-win_rows // TABLE_ROWS) * TABLE_ROWS
         x2d_rows = int((q + win_rows).max())
         x2d_rows = max(x2d_rows, -(-ncols // LANES))
+        x2d_rows = -(-x2d_rows // TABLE_ROWS) * TABLE_ROWS
 
         # ---- amap -----------------------------------------------------
         amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int8)
