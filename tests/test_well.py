@@ -165,8 +165,12 @@ class TestWellOperator:
         np.testing.assert_allclose(
             y, ref, atol=2e-5 * np.abs(ref).max(), rtol=0
         )
-        # multi-vector path stays on ELL
-        ys = np.asarray(op.mm(jnp.asarray(
-            np.random.default_rng(1).standard_normal((6000, 3)).astype(np.float32)
-        )))
+        # multi-vector path routes through per-column WELL SpMVs when
+        # the stored format is a plain ELL (linop.py SparseOperator.mm)
+        xs = np.random.default_rng(1).standard_normal((6000, 3)).astype(
+            np.float32)
+        ys = np.asarray(op.mm(jnp.asarray(xs)))
         assert ys.shape == (6000, 3)
+        np.testing.assert_allclose(
+            ys, sp @ xs, atol=2e-5 * np.abs(sp @ xs).max(), rtol=0
+        )

@@ -36,7 +36,7 @@ def run_case(depth, rows, touch=True, reps=30):
     n_chunks = n_rows_total // rows
     x = jnp.ones((n_rows_total, 128), jnp.float32)
 
-    def kernel(x_hbm, o_ref, bufs, sems):
+    def kernel(c_ref, x_hbm, o_ref, bufs, sems):
         def dma(i, slot):
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(i * rows, rows), :],
@@ -59,9 +59,8 @@ def run_case(depth, rows, touch=True, reps=30):
 
             return acc
 
-        acc = jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((8, 128), jnp.float32)
-        )
+        # carry input defeats loop hoisting of the whole pallas_call
+        acc = jax.lax.fori_loop(0, n_chunks, body, c_ref[:])
         o_ref[:] = acc
 
     @jax.jit
@@ -70,7 +69,8 @@ def run_case(depth, rows, touch=True, reps=30):
             out = pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     pltpu.VMEM((depth * rows, 128), jnp.float32),
@@ -78,10 +78,10 @@ def run_case(depth, rows, touch=True, reps=30):
                 ],
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True),
-            )(x)
-            return c + out.ravel()[0] * 0, None
+            )(c, x)
+            return out, None
 
-        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+        c, _ = jax.lax.scan(body, jnp.zeros((8, 128), jnp.float32), None,
                             length=reps)
         return c
 

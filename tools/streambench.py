@@ -36,8 +36,11 @@ def run_case(name, n_inputs, rows, dtype, out_width=128, reps=20):
     tiles = max(TOTAL // per_tile, 1)
 
     def kernel(*refs):
-        ins, out = refs[:-1], refs[-1]
-        acc = ins[0][0, 0:8, :].astype(jnp.float32)
+        # first ref is the scan carry (defeats loop hoisting of the
+        # whole pallas_call — without it every rep after the first is
+        # CSE'd away and the bench just measures the 30ms call overhead)
+        c_ref, ins, out = refs[0], refs[1:-1], refs[-1]
+        acc = c_ref[0:8, :].astype(jnp.float32)
         for r in ins:
             # touch every sublane-block of the input so nothing is DCE'd
             for k in range(0, rows, 8):
@@ -61,12 +64,13 @@ def run_case(name, n_inputs, rows, dtype, out_width=128, reps=20):
                                                jnp.float32),
                 grid_spec=pl.GridSpec(
                     grid=(tiles,),
-                    in_specs=[blk((rows, 128)) for _ in range(n_inputs)],
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    + [blk((rows, 128)) for _ in range(n_inputs)],
                     out_specs=blk((8, out_width)),
                 ),
-            )(*args)
-            return c + out.ravel()[0] * 0, None
-        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+            )(c, *args)
+            return out[0, 0:8, :128], None
+        c, _ = jax.lax.scan(body, jnp.zeros((8, 128), jnp.float32), None,
                             length=reps)
         return c
 
@@ -90,8 +94,8 @@ def run_wide(name, n_inputs, sub, width, dtype, reps=20, cost=False):
     tiles = max(TOTAL // per_tile, 1)
 
     def kernel(*refs):
-        ins, out = refs[:-1], refs[-1]
-        acc = ins[0][0:8, 0:128].astype(jnp.float32)
+        c_ref, ins, out = refs[0], refs[1:-1], refs[-1]
+        acc = c_ref[0:8, :].astype(jnp.float32)
         for r in ins:
             for s in range(0, sub, 8):
                 for k in range(0, width, 128):
@@ -115,16 +119,17 @@ def run_wide(name, n_inputs, sub, width, dtype, reps=20, cost=False):
                 out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 grid_spec=pl.GridSpec(
                     grid=(tiles,),
-                    in_specs=[pl.BlockSpec((sub, width), lambda i: (0, i),
-                                           memory_space=pltpu.VMEM)
-                              for _ in range(n_inputs)],
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    + [pl.BlockSpec((sub, width), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(n_inputs)],
                     out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
                                            memory_space=pltpu.VMEM),
                 ),
                 **kw,
-            )(*args)
-            return c + out.ravel()[0] * 0, None
-        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+            )(c, *args)
+            return out, None
+        c, _ = jax.lax.scan(body, jnp.zeros((8, 128), jnp.float32), None,
                             length=reps)
         return c
 
