@@ -117,17 +117,16 @@ class TestWellModes:
         w = WELL.from_csr(CSR.from_scipy(sp))
         nv = np.asarray(w.gb).reshape(-1, 3).shape[0]
         gb = np.asarray(w.gb).reshape(nv, 3)
-        amap = np.asarray(w.amap).reshape(nv, 8, 128)
         data = np.asarray(w.data).reshape(nv, 8, 128)
-        pid = np.asarray(w.pid).reshape(nv, 8, 128).astype(np.int64)
-        lam = np.asarray(w.lam).reshape(nv, 8, 128).astype(np.int64)
+        # unpack the w1 (slot-domain) and w2 (table-domain) words
+        w1 = np.asarray(w.w1).reshape(nv, 8, 128).astype(np.int64)
+        w2 = np.asarray(w.w2).reshape(nv, 8, 128).astype(np.int64)
+        lam = w1 & 127
+        pid = (w1 >> 7) & 7
+        amap = (w2 >> 12) & 127
         P = w.n_passes
-        rho = (
-            np.asarray(w.rho)
-            .reshape(-1, P, w.vregs_per_tile, 8, 128)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(nv, P, 8, 128)
-            .astype(np.int64)
+        rho = np.stack(
+            [(w2 >> (3 * p)) & 7 for p in range(P)], axis=1
         )
         s_idx = np.arange(8)[None, :, None]
         v_idx = np.arange(nv)[:, None, None]
@@ -135,7 +134,7 @@ class TestWellModes:
         #   table[rho[pass, m, lam[m,l]], lam[m,l]]
         # i.e. rho is consulted at the TABLE lane, not the slot lane
         trow = rho[v_idx, pid, s_idx, lam]
-        wrow = amap[v_idx, trow, lam].astype(np.int64)
+        wrow = amap[v_idx, trow, lam]
         grp = wrow >> 3
         touched = data != 0
         for v in range(nv):

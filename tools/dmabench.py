@@ -23,14 +23,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_amg_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-TOTAL_MB = 64
+TOTAL_MB = 32
 
 
 def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def run_case(depth, rows, touch=True, reps=30):
+def run_case(depth, rows, touch=True, reps=400):
     """Ring of `depth` buffers of (rows, 128) f32, one loop over chunks."""
     n_rows_total = TOTAL_MB * 1024 * 1024 // (128 * 4)
     n_chunks = n_rows_total // rows

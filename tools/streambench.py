@@ -22,14 +22,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_amg_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-TOTAL = 128 * 1024 * 1024  # bytes to stream per run
+TOTAL = 32 * 1024 * 1024  # bytes to stream per run
 
 
 def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def run_case(name, n_inputs, rows, dtype, out_width=128, reps=20):
+def run_case(name, n_inputs, rows, dtype, out_width=128, reps=400):
     """n_inputs blocks of (rows, 128) dtype per tile; passthrough sum."""
     isz = jnp.dtype(dtype).itemsize
     per_tile = n_inputs * rows * 128 * isz
@@ -86,7 +86,7 @@ def run_case(name, n_inputs, rows, dtype, out_width=128, reps=20):
           f"{best*1e6:8.1f}us  {tot/best/1e9:6.1f} GB/s", flush=True)
 
 
-def run_wide(name, n_inputs, sub, width, dtype, reps=20, cost=False):
+def run_wide(name, n_inputs, sub, width, dtype, reps=400, cost=False):
     """DIA-style layout: array (sub, tiles*width), block (sub, width) —
     wide LANE dim instead of stacked sublanes."""
     isz = jnp.dtype(dtype).itemsize

@@ -90,12 +90,15 @@ class Hierarchy:
     # ------------------------------------------------------------------
     def coarsen(self):
         """Level loop (reference hierarchy.rs:190-248)."""
+        import time as _time
+
         max_levels = self.config.max_levels or 10**9
         level = 1
         while (
             self.matrices[-1].nrows > self.config.coarsest_dim
             and level < max_levels
         ):
+            t0 = _time.perf_counter()
             a = self.matrices[-1]
             nn = self.near_nulls[-1]
             w = self.nn_weights[-1]
@@ -104,8 +107,8 @@ class Hierarchy:
             coarse_nn = self._postprocess_near_null(coarse, galerkin.coarse_nn)
             self.add_level(galerkin, coarse_nn)
             logger.info(
-                "created coarse level %d: n=%d nnz=%d", level,
-                coarse.nrows, coarse.nnz,
+                "created coarse level %d: n=%d nnz=%d (%.1fs)", level,
+                coarse.nrows, coarse.nnz, _time.perf_counter() - t0,
             )
             level += 1
 

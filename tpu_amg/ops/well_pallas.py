@@ -65,14 +65,11 @@ def _kernel(
     # scalar prefetch
     q_ref,
     gb_ref,
-    # blocked inputs (leading tile axis of size 1)
-    amap_ref,
-    lam_ref,
-    pid_ref,
-    rho_ref,
+    # blocked inputs (leading tile axis of size 1); w1/w2 are the
+    # bit-packed index words (see sparse/well.py docstring)
     data_ref,
-    cont_ref,
-    route_ref,
+    w1_ref,
+    w2_ref,
     # x window: unblocked HBM x2d (dma mode), whole VMEM-resident x2d
     # (resident mode), or blocked pre-gathered windows
     x_ref,
@@ -126,8 +123,12 @@ def _kernel(
         ghi = gb_ref[base + 1]
         phi = gb_ref[base + 2]
 
+        r0 = f * TABLE_ROWS
+        w1 = w1_ref[0, r0 : r0 + 8, :]
+        w2 = w2_ref[0, r0 : r0 + 8, :]
+
         # ---- stage A: dedup table --------------------------------------
-        a32 = amap_ref[0, f].astype(jnp.int32)  # (8, 128) window-row ids
+        a32 = (w2 >> 12) & 127  # (8, 128) window row per table slot
         eta = a32 & 7
         grp = a32 >> 3
         n_groups = (win_rows + 7) // 8
@@ -151,14 +152,13 @@ def _kernel(
             table = table_s[:]
 
         # ---- stage B: per-slot gather ----------------------------------
-        r0 = f * TABLE_ROWS
-        lam = lam_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
-        pid = pid_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
+        lam = w1 & 127
+        pid = (w1 >> 7) & 7
+
         if mode == 0:
             gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
             for p in range(n_passes):
-                rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
-                rowsel = _taa_sub(table, rho_p)
+                rowsel = _taa_sub(table, (w2 >> (3 * p)) & 7)
                 val_p = _taa_lane(rowsel, lam)
                 gathered = jnp.where(pid == p, val_p, gathered)
         else:
@@ -166,8 +166,7 @@ def _kernel(
             for p in range(n_passes):
 
                 def gather(p=p):
-                    rho_p = rho_ref[0, p, r0 : r0 + 8, :].astype(jnp.int32)
-                    rowsel = _taa_sub(table, rho_p)
+                    rowsel = _taa_sub(table, (w2 >> (3 * p)) & 7)
                     val_p = _taa_lane(rowsel, lam)
                     pltpu.store(gath_s, val_p, mask=pid == p)
 
@@ -194,11 +193,10 @@ def _kernel(
         for k in range(merge_rounds):
             shift = 1 << k
             shifted = pltpu.roll(cm, LANES - shift, 1)
-            mask = cont_ref[0, k, r0 : r0 + 8, :] != 0
-            cm = cm + jnp.where(mask, shifted, 0.0)
+            mask = (w1 >> (14 + k)) & 1
+            cm = cm + jnp.where(mask != 0, shifted, 0.0)
         # route block sums to output row slots
-        ridx = route_ref[0, r0 : r0 + 8, :].astype(jnp.int32)
-        yv = _taa_lane(cm, ridx)
+        yv = _taa_lane(cm, (w1 >> 10) & 15)
         y_ref[0, r0 : r0 + 8, :] = yv[:, :BLOCKS_PER_VROW]
 
 
@@ -217,13 +215,9 @@ def _kernel(
 def _well_spmv_call(
     q,
     gb,
-    amap,
-    lam,
-    pid,
-    rho,
     data,
-    cont,
-    route,
+    w1,
+    w2,
     x2d,
     *,
     win_rows: int,
@@ -280,13 +274,9 @@ def _well_spmv_call(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            block((vregs, TABLE_ROWS, LANES)),  # amap
-            block((mrows, LANES)),  # lam
-            block((mrows, LANES)),  # pid
-            block((max(n_passes, 1), mrows, LANES)),  # rho
             block((mrows, LANES)),  # data
-            block((max(merge_rounds, 1), mrows, LANES)),  # cont
-            block((mrows, LANES)),  # route
+            block((mrows, LANES)),  # w1
+            block((mrows, LANES)),  # w2
             x_spec,
         ],
         out_specs=block((mrows, BLOCKS_PER_VROW)),
@@ -318,13 +308,12 @@ def _well_spmv_call(
                 flops=2 * nnz_slots,
                 bytes_accessed=(
                     data.size * data.dtype.itemsize
-                    + lam.size + pid.size + rho.size + cont.size
-                    + route.size + amap.size
+                    + 4 * w1.size + 4 * w2.size
                     + n_tiles * win_rows * LANES * data.dtype.itemsize
                 ),
                 transcendentals=0,
             ),
-        )(q, gb.reshape(-1), amap, lam, pid, rho, data, cont, route, x_arg)
+        )(q, gb.reshape(-1), data, w1, w2, x_arg)
     return out
 
 
@@ -366,8 +355,7 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None,
         )
 
     operands = (
-        well.q, well.gb, well.amap, well.lam, well.pid, well.rho, well.data,
-        well.cont, well.route, x2d,
+        well.q, well.gb, well.data, well.w1, well.w2, x2d,
     )
     if interpret is None:
         # decide per lowering platform, not per global device list: a

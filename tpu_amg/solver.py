@@ -184,6 +184,11 @@ class AMGSolver:
             solver.component_hierarchies = hierarchies
             return solver
 
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
+        t0 = _time.perf_counter()
         nn = find_near_null(
             a,
             config.smoothing_iters,
@@ -194,8 +199,15 @@ class AMGSolver:
         basis, _ = np.linalg.qr(
             np.concatenate([np.ones((a.nrows, 1)), nn], axis=1)
         )
+        t1 = _time.perf_counter()
+        log.info("setup phase: near-null smoothing + QR %.1fs", t1 - t0)
         hierarchy = hier_cfg.build(a, basis, create_weights(a, basis))
+        t2 = _time.perf_counter()
+        log.info("setup phase: hierarchy build %.1fs", t2 - t1)
         mg = AMGSolver._apply_precision(mg_cfg.build(hierarchy), config)
+        log.info(
+            "setup phase: multigrid build %.1fs", _time.perf_counter() - t2
+        )
         return AMGSolver(a, mg, hierarchy=hierarchy, config=config, perm=perm)
 
     @staticmethod

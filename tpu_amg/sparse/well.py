@@ -73,14 +73,30 @@ class WELL:
 
     Array shapes (T = tiles, F = vregs/tile, M = F*8):
       q     (T,)              int32  window start row into x2d
-      amap  (T, F, 8, 128)    int8   window row per table slot
-      lam   (T, M, 128)       int8   table lane per entry slot
-      pid   (T, M, 128)       int8   gather pass per entry slot
-      rho   (T, P, M, 128)    int8   table row per (pass, vreg-row, lane)
       data  (T, M, 128)       dtype  entry values (0 in padded slots)
-      cont  (T, MR, M, 128)   int8   block-merge masks per round
-      route (T, M, 128)       int8   output lane → source block lane
+      w1    (T, M, 128)       int32  slot-domain word:
+                                       bits 0-6   λ table lane
+                                       bits 7-9   gather pass id
+                                       bits 10-13 output route (source
+                                                  block lane)
+                                       bits 14-17 block-merge flags
+                                                  (≤4 rounds)
+      w2    (T, M, 128)       int32  table-domain word (the same
+                                     physical (8,128) vreg read in two
+                                     index domains):
+                                       bits 3p..3p+2  table row for
+                                                  pass p at (vreg-row,
+                                                  table-lane), p < 4
+                                       bits 12-18 amap: window row of
+                                                  table slot (table-row,
+                                                  table-lane)
       gb    (T, F, 3)         int32  per-vreg [grp_lo, grp_hi, n_passes]
+
+    The kernel is stream-bound: the pallas input pipeline tops out at
+    ~300 GB/s f32 and int8 slabs move at only ~155 GB/s effective (DMA +
+    per-use int8→int32 converts), so ALL index maps are bit-packed into
+    two int32 words per slot — streamed at full f32 rate and unpacked
+    with single shift/mask ops.  10 bytes/slot f32 (8 + values).
 
     ``gb`` carries per-vreg *dynamic* bounds: the window-group range the
     vreg's table actually touches and the number of gather passes its
@@ -91,13 +107,9 @@ class WELL:
     """
 
     q: jax.Array
-    amap: jax.Array
-    lam: jax.Array
-    pid: jax.Array
-    rho: jax.Array
     data: jax.Array
-    cont: jax.Array
-    route: jax.Array
+    w1: jax.Array
+    w2: jax.Array
     gb: jax.Array
     extra_rows: jax.Array
     extra_cols: jax.Array
@@ -408,39 +420,33 @@ class WELL:
                 a.reshape((t_count,) + inner), dtype=a.dtype
             )
 
-        pad16 = np.zeros(
-            (nv_pad * TABLE_ROWS, mr, LANES - BLOCKS_PER_VROW), np.int8
+        # slot-domain word: lam | pid<<7 | route<<10 | merge flags<<14
+        assert merge_rounds <= 4 and n_passes <= 4
+        w1 = (
+            lam_a.astype(np.int64)
+            | (pid_a.astype(np.int64) << 7)
         )
-        cont_full = np.concatenate([cont, pad16], axis=2)
-        routef = np.concatenate(
-            [route,
-             np.zeros((nv_pad * TABLE_ROWS, LANES - BLOCKS_PER_VROW),
-                      np.int8)], axis=1
-        )
+        w1[:, :BLOCKS_PER_VROW] |= route.astype(np.int64) << 10
+        for k in range(merge_rounds):
+            w1[:, :BLOCKS_PER_VROW] |= cont[:, k].astype(np.int64) << (
+                14 + k
+            )
+        # table-domain word: rho per pass at bits 3p, amap at bits 12-18
+        w2 = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int64)
+        for p in range(max(n_passes, 1)):
+            w2 |= rho.reshape(nv_pad * TABLE_ROWS, -1, LANES)[
+                :, p
+            ].astype(np.int64) << (3 * p)
+        w2 |= amap.reshape(nv_pad * TABLE_ROWS, LANES).astype(
+            np.int64
+        ) << 12
         return WELL(
             q=jnp.asarray(q, dtype=jnp.int32),
-            amap=tile(amap, (f, TABLE_ROWS, LANES)),
-            lam=tile(lam_a, (m_rows, LANES)),
-            pid=tile(pid_a, (m_rows, LANES)),
-            rho=tile(
-                rho.reshape(nv_pad * TABLE_ROWS, max(n_passes, 1), LANES)
-                .transpose(1, 0, 2)
-                .reshape(max(n_passes, 1), t_count, m_rows, LANES)
-                .transpose(1, 0, 2, 3)
-                .copy(),
-                (max(n_passes, 1), m_rows, LANES),
-            ),
             data=jnp.asarray(
                 data_a.reshape(t_count, m_rows, LANES), dtype=dtype
             ),
-            cont=tile(
-                cont_full.transpose(1, 0, 2)
-                .reshape(mr, t_count, m_rows, LANES)
-                .transpose(1, 0, 2, 3)
-                .copy(),
-                (mr, m_rows, LANES),
-            ),
-            route=tile(routef, (m_rows, LANES)),
+            w1=tile(w1.astype(np.int32), (m_rows, LANES)),
+            w2=tile(w2.astype(np.int32), (m_rows, LANES)),
             gb=jnp.asarray(gb.reshape(t_count, f, 3), dtype=jnp.int32),
             extra_rows=jnp.asarray(rows_of[ex], dtype=jnp.int32),
             extra_cols=jnp.asarray(indices[ex], dtype=jnp.int32),
