@@ -128,17 +128,18 @@ def _kernel(
         w2 = w2_ref[0, r0 : r0 + 8, :]
 
         # ---- stage A: dedup table --------------------------------------
+        cdt = x_ref.dtype  # compute dtype (data may be a bf16 stream)
         a32 = (w2 >> 12) & 127  # (8, 128) window row per table slot
         eta = a32 & 7
         grp = a32 >> 3
         n_groups = (win_rows + 7) // 8
         if mode == 0:
-            table = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            table = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
             for g in range(n_groups):
                 part = _taa_sub(win_slice(g), eta)
                 table = jnp.where(grp == g, part, table)
         else:
-            table_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            table_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
             for g in range(n_groups):
 
                 def fill(g=g):
@@ -156,13 +157,13 @@ def _kernel(
         pid = (w1 >> 7) & 7
 
         if mode == 0:
-            gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            gathered = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
             for p in range(n_passes):
                 rowsel = _taa_sub(table, (w2 >> (3 * p)) & 7)
                 val_p = _taa_lane(rowsel, lam)
                 gathered = jnp.where(pid == p, val_p, gathered)
         else:
-            gath_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=data_ref.dtype)
+            gath_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
             for p in range(n_passes):
 
                 def gather(p=p):
@@ -176,7 +177,7 @@ def _kernel(
                     gather()
             gathered = gath_s[:]
 
-        contrib = data_ref[0, r0 : r0 + 8, :] * gathered
+        contrib = data_ref[0, r0 : r0 + 8, :].astype(cdt) * gathered
 
         # ---- reduce: 8-lane block sums at lanes 0, 8, ..., 120 ----------
         red = contrib
@@ -240,14 +241,15 @@ def _well_spmv_call(
             memory_space=pltpu.VMEM,
         )
 
+    cdt = x2d.dtype  # compute dtype (data may be a bf16 stream)
     vreg_scratch = [
-        pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # table_s
-        pltpu.VMEM((TABLE_ROWS, LANES), data.dtype),  # gath_s
+        pltpu.VMEM((TABLE_ROWS, LANES), cdt),  # table_s
+        pltpu.VMEM((TABLE_ROWS, LANES), cdt),  # gath_s
     ]
     if x_mode == "dma":
         x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x2d stays in HBM
         scratch = [
-            pltpu.VMEM((win_rows, LANES), data.dtype),
+            pltpu.VMEM((win_rows, LANES), cdt),
             pltpu.SemaphoreType.DMA,
         ] + vreg_scratch
         x_arg = x2d
@@ -300,7 +302,7 @@ def _well_spmv_call(
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, mrows, BLOCKS_PER_VROW), data.dtype
+                (n_tiles, mrows, BLOCKS_PER_VROW), cdt
             ),
             grid_spec=grid_spec,
             interpret=interpret,
@@ -331,7 +333,10 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None,
     if mode is None:
         mode = int(os.environ.get("TPU_AMG_WELL_MODE", "1"))
     n2d = well.x2d_rows
-    xp = jnp.pad(x.astype(well.data.dtype), (0, n2d * LANES - x.shape[0]))
+    # compute dtype: f32 unless the caller feeds bf16 x; a bf16 DATA
+    # stream (WELL.astype_values) still computes/gathers in f32
+    cdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    xp = jnp.pad(x.astype(cdt), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)
     if x_mode is None:
         # keep x2d whole in VMEM when it fits alongside the slab
@@ -339,7 +344,7 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None,
         # pre-gather AND runs the kernel 12% faster); cap overridable
         # for A/B runs
         cap_mb = float(os.environ.get("TPU_AMG_WELL_RESIDENT_MB", "8"))
-        x_bytes = n2d * LANES * jnp.dtype(well.data.dtype).itemsize
+        x_bytes = n2d * LANES * jnp.dtype(cdt).itemsize
         x_mode = "resident" if x_bytes <= cap_mb * 1e6 else "blocked"
 
     def call(interp, *args):

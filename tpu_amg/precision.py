@@ -46,8 +46,10 @@ from tpu_amg.linop import LinearOperator, SparseOperator
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _F32Island:
-    """Wraps a WELL (or any .mv object) so it keeps computing in its own
-    dtype while the surrounding cycle runs in a lower one."""
+    """Wraps a WELL (or any .mv object) so its gathers/FMAs run in f32
+    while the surrounding cycle runs in a lower precision.  The wrapped
+    operator's VALUE stream may itself be bf16 (WELL.astype_values) —
+    the island only pins the vector/compute dtype."""
 
     inner: Any
 
@@ -60,7 +62,7 @@ class _F32Island:
         return self.inner.shape
 
     def mv(self, x):
-        return self.inner.mv(x.astype(self.inner.dtype)).astype(x.dtype)
+        return self.inner.mv(x.astype(jnp.float32)).astype(x.dtype)
 
 
 def _cast_leaf(x, dtype):
@@ -82,11 +84,16 @@ def cast_operator(op: Any, dtype=jnp.bfloat16):
     if isinstance(op, _F32Island):
         return op
     if isinstance(op, SparseOperator) and op.well is not None:
+        well = op.well
+        if dtype == jnp.bfloat16 and hasattr(well, "astype_values"):
+            # the WELL kernel natively streams bf16 values (computing
+            # in f32); the island pins the vector dtype at f32
+            well = well.astype_values(dtype)
         return dataclasses.replace(
             op,
             ell=cast_operator(op.ell, dtype),
             ell_t=cast_operator(op.ell_t, dtype),
-            well=_F32Island(inner=op.well),
+            well=_F32Island(inner=well),
         )
     if dataclasses.is_dataclass(op) and not isinstance(op, type):
         changes = {}

@@ -147,6 +147,15 @@ class WELL:
 
         return well_spmv(self, x)
 
+    def astype_values(self, dtype) -> "WELL":
+        """Convert ONLY the value stream (bf16 values halve the dominant
+        slab traffic; gathers/FMAs stay in the x dtype)."""
+        return dataclasses.replace(
+            self,
+            data=self.data.astype(dtype),
+            extra_vals=self.extra_vals.astype(dtype),
+        )
+
     def __call__(self, x: jax.Array) -> jax.Array:
         if x.ndim > 1:
             return jnp.stack([self.mv(x[:, j]) for j in range(x.shape[1])], 1)
