@@ -227,9 +227,17 @@ def main():
         print("# timing unstructured spmv...", file=sys.stderr, flush=True)
         dt_un = time_spmv(well, reps=400 if on_tpu else 3,
                           trials=3 if on_tpu else 1, x0=xu)
+        # bf16 value stream (production mixed-precision cycle mode):
+        # the kernel is partly stream-bound, so halving the dominant
+        # data slab pays directly
+        dt_un16 = time_spmv(
+            well.astype_values(jnp.bfloat16), reps=400 if on_tpu else 3,
+            trials=3 if on_tpu else 1, x0=xu,
+        )
         un_roofline = ap.nnz * bw / (4 * ap.nnz + 8 * ap.shape[0])
         un = {
             "unstructured_gnnzs": round(ap.nnz / dt_un / 1e9, 4),
+            "unstructured_bf16v_gnnzs": round(ap.nnz / dt_un16 / 1e9, 4),
             "unstructured_vs_target": round(
                 (ap.nnz / dt_un) / (0.70 * un_roofline), 4
             ),
