@@ -96,3 +96,80 @@ class TestViz:
         payload = json.loads(out.read_text())
         assert len(payload["levels"]) == h.num_levels - 1
         assert len(payload["levels"][0]["node_to_agg"]) == 64
+
+
+class TestVtk:
+    VTK_POLYDATA = """\
+# vtk DataFile Version 3.0
+mesh
+ASCII
+DATASET POLYDATA
+POINTS 4 float
+0 0 0
+1 0 0
+0 1 0
+1 1 0
+POLYGONS 2 9
+3 0 1 2
+4 1 3 2 0
+"""
+
+    VTK_UGRID = """\
+# vtk DataFile Version 3.0
+mesh
+ASCII
+DATASET UNSTRUCTURED_GRID
+POINTS 3 double
+0 0 0
+1 0 0
+0 1 0
+CELLS 2 6
+3 0 1 2
+1 0
+CELL_TYPES 2
+5
+1
+"""
+
+    def test_polydata_fan_triangulation(self, tmp_path):
+        from tpu_amg.utils.io import load_vtk_triangle_mesh
+
+        p = tmp_path / "m.vtk"
+        p.write_text(self.VTK_POLYDATA)
+        geo = load_vtk_triangle_mesh(p)
+        assert geo.points.shape == (4, 3)
+        # triangle + quad fan-triangulated into two
+        assert geo.cells.shape == (3, 3)
+        np.testing.assert_array_equal(geo.cells[0], [0, 1, 2])
+        np.testing.assert_array_equal(geo.cells[1], [1, 3, 2])
+        np.testing.assert_array_equal(geo.cells[2], [1, 2, 0])
+
+    def test_unstructured_grid_skips_non_triangles(self, tmp_path):
+        from tpu_amg.utils.io import load_vtk_triangle_mesh
+
+        p = tmp_path / "m.vtk"
+        p.write_text(self.VTK_UGRID)
+        geo = load_vtk_triangle_mesh(p)
+        assert geo.cells.shape == (1, 3)
+
+    def test_mfem_loader_walks_parents_for_vtk(self, tmp_path):
+        # reference find_associated_vtk (utils.rs:536-551): the .vtk may
+        # sit in ANY ancestor directory of the dataset dir
+        sub = tmp_path / "data" / "runs"
+        sub.mkdir(parents=True)
+        a = poisson2d(3)
+        save_mfem_linear_system(
+            sub, "sys", a, np.ones(9), np.zeros((9, 2)), np.array([0])
+        )
+        (tmp_path / "sys.vtk").write_text(self.VTK_POLYDATA)
+        sys_ = load_mfem_linear_system(sub, "sys", delete_boundary=False)
+        assert sys_.mesh_geometry is not None
+        assert sys_.mesh_geometry.cells.shape == (3, 3)
+
+    def test_mfem_loader_without_vtk(self, tmp_path):
+        a = poisson2d(3)
+        save_mfem_linear_system(
+            tmp_path, "sys", a, np.ones(9), np.zeros((9, 2)), np.array([0])
+        )
+        sys_ = load_mfem_linear_system(tmp_path, "sys", delete_boundary=False)
+        assert sys_.mesh_geometry is None

@@ -18,7 +18,9 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--side", type=int, default=512)
+    ap.add_argument("--side", type=int, default=None,
+                    help="grid side (default: 512 on TPU, 64 on CPU — "
+                         "mirrors bench_unstructured.py)")
     ap.add_argument("--no-profile", action="store_true")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -35,6 +37,11 @@ def main():
     from bench import unstructured_fem_system
     from tpu_amg.solver import AMGSolver, SolverConfig
     from tpu_amg.sparse.csr import CSR
+
+    if args.side is None:
+        import jax
+
+        args.side = 512 if jax.devices()[0].platform == "tpu" else 64
 
     t0 = time.perf_counter()
     a = CSR.from_scipy(unstructured_fem_system(args.side))

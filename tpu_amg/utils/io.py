@@ -79,6 +79,15 @@ class IndexMapping:
 
 
 @dataclasses.dataclass
+class MeshGeometry:
+    """Triangle surface mesh for visualization (the sci-bevy-comm
+    MeshGeometry role, reference utils.rs:28, 332-336)."""
+
+    points: np.ndarray  # (n_pts, 3)
+    cells: np.ndarray  # (n_tri, 3) int vertex indices
+
+
+@dataclasses.dataclass
 class MfemLinearSystem:
     """reference MfemLinearSystem (utils.rs:258-267)."""
 
@@ -88,6 +97,94 @@ class MfemLinearSystem:
     boundary_indices: np.ndarray
     index_mapping: IndexMapping
     original_dimension: int
+    mesh_geometry: Optional[MeshGeometry] = None
+
+
+def load_vtk_triangle_mesh(path) -> MeshGeometry:
+    """Parse a legacy-ASCII VTK file into points + triangle cells (the
+    load_triangle_mesh_data role, reference utils.rs:28, 332-334).
+
+    Handles POLYDATA ``POLYGONS`` and UNSTRUCTURED_GRID ``CELLS`` +
+    ``CELL_TYPES`` (triangles = VTK type 5); polygons with more than 3
+    vertices are fan-triangulated.
+    """
+    tokens = []
+    with open(path) as f:
+        lines = f.readlines()
+    if len(lines) >= 3 and "ascii" not in lines[2].strip().lower():
+        raise ValueError(f"{path}: only ASCII legacy VTK is supported")
+    # tokenize everything after the 2-line header + format line
+    for ln in lines[3:]:
+        tokens.extend(ln.split())
+    pos = 0
+
+    def peek():
+        return tokens[pos].upper() if pos < len(tokens) else None
+
+    points = None
+    conn = None  # flat connectivity [count, v0, v1, ..., count, ...]
+    cell_types = None
+    n_cells = 0
+    while pos < len(tokens):
+        tok = peek()
+        if tok == "POINTS":
+            n_pts = int(tokens[pos + 1])
+            pos += 3  # POINTS n dtype
+            points = np.array(
+                tokens[pos : pos + 3 * n_pts], dtype=np.float64
+            ).reshape(n_pts, 3)
+            pos += 3 * n_pts
+        elif tok in ("POLYGONS", "CELLS"):
+            n_cells = int(tokens[pos + 1])
+            size = int(tokens[pos + 2])
+            pos += 3
+            conn = np.array(tokens[pos : pos + size], dtype=np.int64)
+            pos += size
+        elif tok == "CELL_TYPES":
+            n_ct = int(tokens[pos + 1])
+            pos += 2
+            cell_types = np.array(
+                tokens[pos : pos + n_ct], dtype=np.int64
+            )
+            pos += n_ct
+        else:
+            pos += 1
+    if points is None:
+        raise ValueError(f"{path}: no POINTS section")
+    tris: List[List[int]] = []
+    if conn is not None:
+        i = 0
+        ci = 0
+        while i < len(conn):
+            cnt = int(conn[i])
+            verts = conn[i + 1 : i + 1 + cnt]
+            i += 1 + cnt
+            is_tri_type = cell_types is None or (
+                ci < len(cell_types) and cell_types[ci] in (5, 7, 9)
+            )  # triangle / polygon / quad
+            ci += 1
+            if cnt >= 3 and is_tri_type:
+                for k in range(1, cnt - 1):  # fan triangulation
+                    tris.append([verts[0], verts[k], verts[k + 1]])
+    cells = (
+        np.array(tris, dtype=np.int64)
+        if tris
+        else np.zeros((0, 3), dtype=np.int64)
+    )
+    return MeshGeometry(points=points, cells=cells)
+
+
+def find_associated_vtk(directory, name: str) -> Optional[Path]:
+    """Walk from ``directory`` up through its parents looking for
+    ``<name>.vtk`` (reference find_associated_vtk, utils.rs:536-551)."""
+    current = Path(directory).resolve()
+    while True:
+        candidate = current / f"{name}.vtk"
+        if candidate.is_file():
+            return candidate
+        if current.parent == current:
+            return None
+        current = current.parent
 
 
 def load_mfem_linear_system(
@@ -141,6 +238,11 @@ def load_mfem_linear_system(
         selection = np.arange(n)
         mesh_to_solution = np.arange(n)
 
+    vtk_path = find_associated_vtk(directory, name)
+    mesh_geometry = (
+        load_vtk_triangle_mesh(vtk_path) if vtk_path is not None else None
+    )
+
     return MfemLinearSystem(
         matrix=matrix,
         rhs=rhs,
@@ -150,6 +252,7 @@ def load_mfem_linear_system(
             mesh_to_solution=mesh_to_solution, solution_to_mesh=selection
         ),
         original_dimension=n,
+        mesh_geometry=mesh_geometry,
     )
 
 

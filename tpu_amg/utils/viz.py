@@ -119,6 +119,16 @@ class VizClient:
             },
         )
 
+    def upload_system_mesh(self, system) -> bool:
+        """Upload an MfemLinearSystem's geometry: the loaded ``.vtk``
+        triangle mesh when present (reference utils.rs:332-336 feeds
+        MeshGeometry to the sci-bevy-comm client), the dof point cloud
+        otherwise."""
+        geo = getattr(system, "mesh_geometry", None)
+        if geo is not None:
+            return self.upload_mesh(geo.points, geo.cells)
+        return self.upload_mesh(system.coords)
+
     def update_partition(self, node_to_agg) -> bool:
         return self._post(
             "/partition", {"node_to_agg": np.asarray(node_to_agg).tolist()}
