@@ -76,6 +76,11 @@ def parse_args():
                    help="gather-free structured-grid multigrid (tensor-"
                         "grid problems only; fastest TPU path)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--host-below", type=int, default=16384,
+                   help="pin the whole run to the host CPU backend when "
+                        "n is below this and the default device is an "
+                        "accelerator (tiny problems cost more in remote "
+                        "compiles than in math)")
     p.add_argument("--viz-out", type=str, default=None,
                    help="write hierarchy viz JSON here (reference dumps "
                         "data/hierarchy_viz.json, main.rs:384-387)")
@@ -195,6 +200,13 @@ def main():
     a, rhs = load_problem(args)
     print(f"system: n={a.nrows} nnz={a.nnz} block_size={a.block_size}",
           file=sys.stderr)
+    if a.nrows < args.host_below and jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+            print(f"host-pinned: n={a.nrows} < {args.host_below}",
+                  file=sys.stderr)
+        except RuntimeError:
+            pass
     key = jax.random.PRNGKey(args.seed)
     t_setup = time.time()
 
@@ -217,6 +229,8 @@ def main():
                 ls_cfg.depth_ls = int(v)
             elif k == "max":
                 ls_cfg.max_interp = int(v)
+            elif k == "cands":
+                ls_cfg.max_candidates = int(v)
             elif k == "cr_target":
                 cr_cfg.target_convergence = float(v)
             elif k == "relax":

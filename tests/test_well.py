@@ -88,11 +88,12 @@ class TestWellCorrectness:
 
 
 class TestWellModes:
-    """All kernel variants must agree — pins the gb (glo/ghi/p_hi)
-    dynamic-bounds construction that only mode 2 consumes."""
+    """x-mode equivalence + packed-word consistency — pins the v2
+    single-word (lam/pid/rho/amap) and rts (route/merge) construction
+    that the kernel consumes in two index domains."""
 
-    @pytest.mark.parametrize("mode", [0, 1, 2])
-    def test_mode_equivalence(self, mode):
+    @pytest.mark.parametrize("x_mode", ["resident", "blocked"])
+    def test_x_mode_equivalence(self, x_mode):
         from tpu_amg.ops.well_pallas import well_spmv
 
         for sp, seed in ((_random_banded(2000, 400, 4, 9, seed=1), 1),
@@ -102,31 +103,45 @@ class TestWellModes:
             w = WELL.from_csr(CSR.from_scipy(sp))
             x = np.random.default_rng(seed).standard_normal(
                 sp.shape[1]).astype(np.float32)
-            y = np.asarray(well_spmv(w, np.asarray(x), mode=mode))
+            y = np.asarray(well_spmv(w, np.asarray(x), x_mode=x_mode))
             ref = sp @ x
             np.testing.assert_allclose(
                 y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
             )
 
-    def test_gb_bounds_cover_touched_groups(self):
+    def test_block4_packing(self):
+        # block=4 lanes pack sparse rows ~tighter (the hybrid-remainder
+        # mode, sparse/hybrid.py); same numerics
+        sp = _random_banded(20000, 400, 2, 6, seed=3).tocsr()
+        sp.sort_indices()
+        w8 = WELL.from_csr(CSR.from_scipy(sp), block=8)
+        w4 = WELL.from_csr(CSR.from_scipy(sp), block=4)
+        assert w4.data.size < w8.data.size
+        x = np.random.default_rng(0).standard_normal(20000).astype(
+            np.float32)
+        ref = sp @ x
+        for w in (w4, w8):
+            y = np.asarray(w.mv(np.asarray(x)))
+            np.testing.assert_allclose(
+                y, ref, rtol=0, atol=2e-5 * np.abs(ref).max())
+
+    def test_packed_word_gather_chain(self):
         # reconstruct each nonzero slot's window row through
-        # (pid, rho, lam, amap) and assert it falls inside gb's group
-        # range, and its pass id under gb's pass bound
+        # (pid, rho, lam, amap) on the HOST and assert the gathered
+        # column matches the original matrix entry
         sp = _random_banded(2000, 400, 4, 9, seed=1).tocsr()
         sp.sort_indices()
-        w = WELL.from_csr(CSR.from_scipy(sp))
-        nv = np.asarray(w.gb).reshape(-1, 3).shape[0]
-        gb = np.asarray(w.gb).reshape(nv, 3)
-        data = np.asarray(w.data).reshape(nv, 8, 128)
-        # unpack the w1 (slot-domain) and w2 (table-domain) words
-        w1 = np.asarray(w.w1).reshape(nv, 8, 128).astype(np.int64)
-        w2 = np.asarray(w.w2).reshape(nv, 8, 128).astype(np.int64)
-        lam = w1 & 127
-        pid = (w1 >> 7) & 7
-        amap = (w2 >> 12) & 127
-        P = w.n_passes
+        well = WELL.from_csr(CSR.from_scipy(sp))
+        nv = np.asarray(well.qv).shape[0]
+        data = np.asarray(well.data).reshape(nv, 8, 128)
+        w = np.asarray(well.w).reshape(nv, 8, 128).astype(np.int64)
+        qv = np.asarray(well.qv).astype(np.int64)
+        lam = w & 127
+        pid = (w >> 7) & 3
+        amap = (w >> 21) & 1023
         rho = np.stack(
-            [(w2 >> (3 * p)) & 7 for p in range(P)], axis=1
+            [(w >> (9 + 3 * p)) & 7 for p in range(well.n_passes)],
+            axis=1,
         )
         s_idx = np.arange(8)[None, :, None]
         v_idx = np.arange(nv)[:, None, None]
@@ -135,14 +150,42 @@ class TestWellModes:
         # i.e. rho is consulted at the TABLE lane, not the slot lane
         trow = rho[v_idx, pid, s_idx, lam]
         wrow = amap[v_idx, trow, lam]
-        grp = wrow >> 3
-        touched = data != 0
-        for v in range(nv):
-            if not touched[v].any():
-                continue
-            g = grp[v][touched[v]]
-            assert g.min() >= gb[v, 0] and g.max() <= gb[v, 1]
-            assert pid[v][touched[v]].max() < gb[v, 2]
+        col = (qv[:, None, None] + wrow) * 128 + lam
+        # gather x through the reconstructed columns and compare the
+        # slot-wise products against a dense SpMV
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(sp.shape[1])
+        xp = np.zeros(well.x2d_rows * 128)
+        xp[: sp.shape[1]] = x
+        contrib = data * xp[col]
+        # per-row sums via the rts route/merge metadata equal A @ x
+        g = well.rows_per_vrow
+        bpv = well.blocks_per_vrow
+        block = well.block
+        bs = contrib.reshape(nv, 8, bpv, block).sum(axis=3)
+        rts = np.asarray(well.rts).reshape(nv, 8, bpv).astype(np.int64)
+        cm = bs.copy()
+        for k in range(well.merge_rounds):
+            sft = 1 << k
+            shifted = np.concatenate(
+                [cm[:, :, sft:], cm[:, :, -1:].repeat(sft, axis=2)],
+                axis=2)
+            mask = (rts >> (5 + k)) & 1
+            cm = cm + np.where(mask != 0, shifted, 0.0)
+        route = rts & 31
+        y = np.take_along_axis(cm, route, axis=2)
+        y = y.reshape(-1, bpv)[:, :g].reshape(-1)[: sp.shape[0]]
+        ex = np.asarray(well.extra_rows)
+        if len(ex):
+            np.add.at(
+                y, ex,
+                np.asarray(well.extra_vals)
+                * x[np.asarray(well.extra_cols)],
+            )
+        ref = sp @ x
+        # data is stored f32; the reconstruction is exact modulo that cast
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=1e-6 * np.abs(ref).max())
 
 
 class TestWellOperator:

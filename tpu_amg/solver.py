@@ -75,12 +75,22 @@ class SolverConfig:
     # transient — on small-HBM or tunneled accelerators they can exceed
     # device memory long before the (f32) solve operators do.
     setup_on_host: bool = False
+    # Run the ENTIRE pipeline (setup and solve) on the host CPU backend
+    # when the system is smaller than this and the session's default
+    # device is an accelerator.  A 256-dof solve is sub-millisecond math
+    # but costs minutes of remote-tunnel XLA compiles if dispatched to a
+    # tunneled TPU (measured 209.8 s for examples/amg.py --n 16 on the
+    # v5e tunnel vs ~3 s host-pinned); dispatching tiny problems to an
+    # accelerator is never the right trade.  Set to 0 to always use the
+    # default device.
+    host_below: int = 16384
     seed: int = 0
 
 
 class AMGSolver:
     def __init__(self, a: CSR, preconditioner, hierarchy=None, config=None,
                  perm=None):
+        self._host_device = None  # set when the whole solve is host-pinned
         self.matrix = a
         self.op = aslinearoperator(a, dtype=getattr(config, "dtype", jnp.float64))
         self.preconditioner = preconditioner
@@ -102,6 +112,19 @@ class AMGSolver:
     @staticmethod
     def setup(a: CSR, config: Optional[SolverConfig] = None) -> "AMGSolver":
         config = config or SolverConfig()
+        if (
+            a.nrows < getattr(config, "host_below", 0)
+            and jax.default_backend() != "cpu"
+        ):
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    solver = AMGSolver._setup_impl(a, config)
+                solver._host_device = cpu  # solve stays host-pinned
+                return solver
         if (
             getattr(config, "setup_on_host", False)
             and jax.default_backend() != "cpu"
@@ -273,7 +296,15 @@ class AMGSolver:
             if x0 is not None:
                 x0 = jnp.asarray(x0)[self.perm]
         fn = self.compile(rtol=rtol, maxiter=maxiter, method=method)
-        x, info = fn(b) if x0 is None else fn(b, jnp.asarray(x0))
+        import contextlib
+
+        ctx = (
+            jax.default_device(self._host_device)
+            if self._host_device is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            x, info = fn(b) if x0 is None else fn(b, jnp.asarray(x0))
         if self.perm is not None:
             x = x[self.inv_perm]
         return x, info

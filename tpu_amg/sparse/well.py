@@ -3,32 +3,60 @@ matrices.
 
 The reference framework's ParSpmm (par_spmm.rs:37-84) pre-tiles an
 arbitrary CSR into cache-friendly blocks once and then applies it many
-times; WELL is the TPU analog.  Construction (here, host-side numpy,
-setup-time) lays the matrix out so that the Pallas kernel
-(`tpu_amg/ops/well_pallas.py`) can compute y = A·x with *only* on-chip
+times; WELL is the TPU analog.  Construction (host-side numpy, setup
+time) lays the matrix out so the Pallas kernel
+(`tpu_amg/ops/well_pallas.py`) computes y = A·x with *only* on-chip
 gathers:
 
-* rows are packed 8-entries-per-block into (8, 128) slot vregs
-  (`rows_per_vrow` rows per sublane row, multi-block rows merged in the
-  kernel);
-* each vreg gets a (8, 128) dedup *table* of the distinct x values its
-  rows touch, filled from a per-tile x *window* [q, q+win_rows) of the
-  (n/128, 128)-reshaped x — windows exist because the caller RCM-orders
-  the matrix (utils/reorder.py), bounding each tile's column span;
+* rows are packed ``block`` entries per lane-block into (8, 128) slot
+  vregs (``rows_per_vrow`` rows share each sublane row, multi-block
+  rows summed by in-kernel merges);
+* each vreg gets an (8, 128) dedup *table* of the distinct x values its
+  rows touch, filled by masked sublane gathers from the vreg's own
+  8-aligned window [qv, qv + 8·ng) of the (n/128, 128)-reshaped x —
+  windows exist because the caller RCM-orders the matrix
+  (utils/reorder.py), bounding each vreg's column span;
 * a value's table lane is forced to ``col % 128`` (sublane gathers
-  preserve lanes), so two entries of the same vreg-row whose columns
-  collide mod 128 cannot be gathered in one pass — such entries are
-  split across up to ``max_passes`` gather passes;
-* anything that does not fit (row-block budget, table stack of 8 per
-  lane, pass budget) is spilled to a small COO `extras` tail applied via
+  preserve lanes), so two entries of one vreg needing the same table
+  lane but different stack rows are split across up to 4 gather passes;
+* anything that does not fit (row-block budget, 8-deep table stack per
+  lane, pass budget) spills to a small COO ``extras`` tail applied via
   the XLA gather path — construction FAILS (WellUnsupported) instead if
-  the spill fraction or the window span says the matrix is not
+  the spill fraction or a vreg's span says the matrix is not
   band-structured enough.
 
-All maps are static int8 arrays streamed alongside the values; per-nnz
-traffic is ≈ value (4B) + λ/pid (2B) + ρ passes (~P B) + amortized
-window, i.e. memory-bound like the reference's kernel rather than
-gather-bound like plain ELL.
+Second-generation layout (round 4), shaped by the round-3 hardware
+ablation on the 1M jittered-Delaunay system (v5e, tools/wellablate.py:
+full 542 us = stream 231 + stages A/B ~88 + per-vreg reduce 224):
+
+1. **Tile-batched MXU reduce.**  The v1 reduce ran per vreg on narrow
+   (8, 16) arrays — dependent roll chains and narrow stores cost 224 us,
+   more than both gather stages together.  v2 buffers all contributions
+   of a tile and reduces ONCE: block sums = (M, 128) @ (128, B) with a
+   static 0/1 selection matrix on the MXU (Precision.HIGHEST: the
+   default TPU matmul rounds inputs to bf16, measured 2.7e-3 relerr;
+   with exact 0/1 selectors HIGHEST is exact), then merges/routes as
+   (M, B)-wide ops — 32x fewer narrow-op invocations.  Measured 224 us
+   → 127 us at 1M.
+2. **One packed index word per slot** (lam 7 | pid 2 | rho 3x4 |
+   amap 10 = 31 bits): 8 B/slot streamed instead of v1's 12; route and
+   merge bits move to a narrow (M, B) int32 sidecar ``rts``.
+3. **Per-vreg 8-aligned window bases** (``qv``): stage A loops over the
+   vreg's OWN span instead of the tile's (13 groups → ~7 at 1M 2-D),
+   and the 10-bit relative row field supports spans to 1024 rows —
+   wide enough for 3-D RCM bands (~580 rows at 1M, utils/problems.py
+   unstructured_poisson_3d) that v1's 7-bit field could not represent.
+4. **block=4 packing** (HybridDiaWell, sparse/hybrid.py): after the
+   dominant diagonals of an RCM'd FEM matrix are split out to DIA
+   slice-FMA streams, remaining rows hold ~4-5 entries — 8-slot blocks
+   would waste half the stream, so the hybrid remainder packs 4-slot
+   blocks (32 per vreg-row).
+
+Hardware A/B at 1M 2-D (v5e, 400-rep chains): v1 634.6 us → v2
+435.1 us; rejected variants of record: per-tile pl.when group bounds
+with transposed stage A (532 us — scalar branches cost more than the
+masked work they skip at NG=10), VPU roll-tree reduce (521 us),
+Precision.HIGH reduce (unsupported by Mosaic).
 """
 
 from __future__ import annotations
@@ -42,8 +70,7 @@ import numpy as np
 
 LANES = 128
 TABLE_ROWS = 8
-BLOCK = 8
-BLOCKS_PER_VROW = LANES // BLOCK  # 16
+MAX_PASSES = 4
 
 
 class WellUnsupported(ValueError):
@@ -71,55 +98,47 @@ def _sorted_unique_inverse(keys: np.ndarray):
 class WELL:
     """Windowed-ELL matrix; see module docstring.
 
-    Array shapes (T = tiles, F = vregs/tile, M = F*8):
-      q     (T,)              int32  window start row into x2d
-      data  (T, M, 128)       dtype  entry values (0 in padded slots)
-      w1    (T, M, 128)       int32  slot-domain word:
-                                       bits 0-6   λ table lane
-                                       bits 7-9   gather pass id
-                                       bits 10-13 output route (source
-                                                  block lane)
-                                       bits 14-17 block-merge flags
-                                                  (≤4 rounds)
-      w2    (T, M, 128)       int32  table-domain word (the same
-                                     physical (8,128) vreg read in two
-                                     index domains):
-                                       bits 3p..3p+2  table row for
-                                                  pass p at (vreg-row,
-                                                  table-lane), p < 4
-                                       bits 12-18 amap: window row of
-                                                  table slot (table-row,
-                                                  table-lane)
-      gb    (T, F, 3)         int32  per-vreg [grp_lo, grp_hi, n_passes]
-
-    The kernel is stream-bound: the pallas input pipeline tops out at
-    ~300 GB/s f32 and int8 slabs move at only ~155 GB/s effective (DMA +
-    per-use int8→int32 converts), so ALL index maps are bit-packed into
-    two int32 words per slot — streamed at full f32 rate and unpacked
-    with single shift/mask ops.  10 bytes/slot f32 (8 + values).
-
-    ``gb`` carries per-vreg *dynamic* bounds: the window-group range the
-    vreg's table actually touches and the number of gather passes its
-    entries need.  The kernel's grid loop runs on the TPU scalar core, so
-    ``pl.when``-predicated groups/passes are real branches — skipped
-    iterations cost ~nothing, making stage A/B cost proportional to each
-    vreg's actual span/collision count instead of the global maxima.
+    Array shapes (T = tiles, F = vregs/tile, M = F*8, B = 128/block):
+      q     (T,)          int32  tile window start row into x2d
+                                 (blocked/dma x modes)
+      qv    (T*F,)        int32  per-vreg 8-aligned window start row
+      data  (T, M, 128)   dtype  entry values (0 in padded slots)
+      w     (T, M, 128)   int32  packed index word, read in two domains:
+                                   slot domain  — bits 0-6  λ table lane
+                                                  bits 7-8  gather pass
+                                   table domain — bits 9+3p..11+3p table
+                                                  row for pass p (p < 4)
+                                                  bits 21-30 window row
+                                                  of table slot
+      rts   (T, M, B)     int32  narrow route/merge sidecar:
+                                   bits 0-4 output route (row's first
+                                            block lane, read at lane j =
+                                            row-in-group)
+                                   bits 5+k merge flag round k (read at
+                                            the block lane)
+      gt    (T,)          int32  per-tile max group count (diagnostics)
+      pt    (T,)          int32  per-tile max pass count (diagnostics)
     """
 
     q: jax.Array
+    qv: jax.Array
+    gt: jax.Array
+    pt: jax.Array
     data: jax.Array
-    w1: jax.Array
-    w2: jax.Array
-    gb: jax.Array
-    extra_rows: jax.Array
+    w: jax.Array
+    rts: jax.Array
+    extra_rows: jax.Array  # UNIQUE spill rows, sorted
+    extra_seg: jax.Array  # per spilled entry: index into extra_rows
     extra_cols: jax.Array
     extra_vals: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
     win_rows: int = dataclasses.field(metadata=dict(static=True))
     x2d_rows: int = dataclasses.field(metadata=dict(static=True))
     rows_per_vrow: int = dataclasses.field(metadata=dict(static=True))
     vregs_per_tile: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
     n_passes: int = dataclasses.field(metadata=dict(static=True))
     merge_rounds: int = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(
@@ -139,8 +158,12 @@ class WELL:
         return self.data.dtype
 
     @property
+    def blocks_per_vrow(self) -> int:
+        return LANES // self.block
+
+    @property
     def n_extras(self) -> int:
-        return int(self.extra_rows.shape[0])
+        return int(self.extra_cols.shape[0])
 
     def mv(self, x: jax.Array) -> jax.Array:
         from tpu_amg.ops.well_pallas import well_spmv
@@ -148,7 +171,7 @@ class WELL:
         return well_spmv(self, x)
 
     def astype_values(self, dtype) -> "WELL":
-        """Convert ONLY the value stream (bf16 values halve the dominant
+        """Convert ONLY the value stream (bf16 values cut the dominant
         slab traffic; gathers/FMAs stay in the x dtype)."""
         return dataclasses.replace(
             self,
@@ -165,9 +188,9 @@ class WELL:
         slots = int(np.prod(self.data.shape))
         return (
             f"WELL(shape={self.shape}, nnz={self.nnz}, slots={slots} "
-            f"(x{slots / max(self.nnz, 1):.2f}), win_rows={self.win_rows}, "
-            f"passes={self.n_passes}, extras={self.n_extras}, "
-            f"dtype={self.dtype})"
+            f"(x{slots / max(self.nnz, 1):.2f}), block={self.block}, "
+            f"groups={self.n_groups}, passes={self.n_passes}, "
+            f"extras={self.n_extras}, dtype={self.dtype})"
         )
 
     # ------------------------------------------------------------------
@@ -176,31 +199,35 @@ class WELL:
         csr,
         dtype=jnp.float32,
         vregs_per_tile: int | None = None,
-        max_passes: int = 4,
-        max_win_rows: int = 128,
+        block: int = 8,
+        max_passes: int = MAX_PASSES,
+        max_span_rows: int = 1024,
         max_spill_frac: float = 0.02,
+        rows_per_vrow: int | None = None,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
 
-        ``vregs_per_tile=None`` auto-sizes tiles: large tiles amortize
-        the Pallas pipeline's per-grid-step cost (hardware sweep at 262k
-        Delaunay: 8→326us, 16→284us, 32→247us, 64→360us — stage A's
-        window-group loop grows with the tile's column span), falling
-        back to smaller tiles when the wider window would blow the cap.
+        ``block`` is the lane-block granularity (8 default; 4 packs
+        sparse remainders after a hybrid diagonal split ~40% tighter).
+        ``rows_per_vrow`` forces the row-packing factor — HaloWELL
+        shards must agree on it across devices.
         """
         if vregs_per_tile is None:
             err = None
             for vpt in (32, 16, 8):
                 try:
                     return WELL.from_csr(
-                        csr, dtype=dtype, vregs_per_tile=vpt,
-                        max_passes=max_passes, max_win_rows=max_win_rows,
+                        csr, dtype=dtype, vregs_per_tile=vpt, block=block,
+                        max_passes=max_passes, max_span_rows=max_span_rows,
                         max_spill_frac=max_spill_frac,
+                        rows_per_vrow=rows_per_vrow,
                     )
                 except WellUnsupported as e:
                     err = e
             raise err
+        assert block in (4, 8) and max_passes <= MAX_PASSES
+        bpv = LANES // block  # blocks per vreg-row
         n, ncols = csr.shape
         indptr = np.asarray(csr.indptr, dtype=np.int64)
         indices = np.asarray(csr.indices, dtype=np.int64)
@@ -211,53 +238,62 @@ class WELL:
 
         nnz_row = np.diff(indptr)
         rows_of = np.repeat(np.arange(n, dtype=np.int64), nnz_row)
-        nb_full = np.maximum((nnz_row + BLOCK - 1) // BLOCK, 1)
+        nb_full = np.maximum((nnz_row + block - 1) // block, 1)
 
         # ---- choose rows_per_vrow: largest g whose per-group block
-        # demand fits the 16-block budget with tiny spill -------------
-        g = None
-        for cand in range(BLOCKS_PER_VROW, 0, -1):
-            n_groups = -(-n // cand)
-            pad_rows = n_groups * cand - n
-            demand = np.concatenate([
-                np.minimum(nb_full, BLOCKS_PER_VROW),
-                np.zeros(pad_rows, np.int64),
-            ])
-            gsum = demand.reshape(n_groups, cand).sum(axis=1)
-            over = np.maximum(gsum - BLOCKS_PER_VROW, 0).sum()
-            if over * BLOCK <= max(max_spill_frac * nnz / 4, 0.0):
-                g = cand
-                break
-        if g is None:
-            raise WellUnsupported("row density too irregular for WELL")
+        # demand fits the bpv budget with tiny spill ------------------
+        if rows_per_vrow is not None:
+            g = int(rows_per_vrow)
+        else:
+            g = None
+            for cand in range(bpv, 0, -1):
+                n_groups = -(-n // cand)
+                pad_rows = n_groups * cand - n
+                demand = np.concatenate([
+                    np.minimum(nb_full, bpv),
+                    np.zeros(pad_rows, np.int64),
+                ])
+                gsum = demand.reshape(n_groups, cand).sum(axis=1)
+                over = np.maximum(gsum - bpv, 0).sum()
+                if over * block <= max(max_spill_frac * nnz / 4, 0.0):
+                    g = cand
+                    break
+            if g is None:
+                raise WellUnsupported(
+                    "row density too irregular for WELL"
+                )
         v_rows = TABLE_ROWS * g  # rows per slot-vreg
 
         # ---- per-row block allowance within each group budget -------
         group_of = rows_of // g  # group id per entry (== global vreg-row)
-        n_groups = -(-n // g)
-        nb = np.minimum(nb_full, BLOCKS_PER_VROW)  # >16-block rows spill
-        gsum = np.zeros(n_groups, dtype=np.int64)
+        n_groups_rows = -(-n // g)
+        # over-budget rows spill; 16-block cap bounds merge_rounds at 4
+        nb = np.minimum(nb_full, min(bpv, 16))
+        gsum = np.zeros(n_groups_rows, dtype=np.int64)
         np.add.at(gsum, np.arange(n) // g, nb)
-        for gi in np.flatnonzero(gsum > BLOCKS_PER_VROW):
+        for gi in np.flatnonzero(gsum > bpv):
             rows = np.arange(gi * g, min((gi + 1) * g, n))
-            while nb[rows].sum() > BLOCKS_PER_VROW:
+            while nb[rows].sum() > bpv:
                 r = rows[np.argmax(nb[rows])]
                 nb[r] -= 1
-        # exclusive cumsum of nb within each group → first block lane
-        nb_pad = np.zeros(n_groups * g, dtype=np.int64)
+        nb_pad = np.zeros(n_groups_rows * g, dtype=np.int64)
         nb_pad[:n] = nb
-        b0_pad = nb_pad.reshape(n_groups, g).cumsum(axis=1) - nb_pad.reshape(
-            n_groups, g
-        )
+        b0_pad = nb_pad.reshape(n_groups_rows, g).cumsum(
+            axis=1
+        ) - nb_pad.reshape(n_groups_rows, g)
         b0 = b0_pad.reshape(-1)[:n]
-        merge_rounds = int(np.ceil(np.log2(max(nb.max(), 1)))) if nb.max() > 1 else 0
+        merge_rounds = (
+            int(np.ceil(np.log2(max(nb.max(), 1)))) if nb.max() > 1 else 0
+        )
+        assert merge_rounds <= 4
 
         # ---- entry slots ---------------------------------------------
         k_in_row = np.arange(nnz) - np.repeat(indptr[:-1], nnz_row)
-        keep = k_in_row < nb[rows_of] * BLOCK
-        lane = (b0[rows_of] + k_in_row // BLOCK) * BLOCK + k_in_row % BLOCK
+        keep = k_in_row < nb[rows_of] * block
+        lane = (
+            b0[rows_of] + k_in_row // block
+        ) * block + k_in_row % block
         vm = group_of  # global vreg-row id
-        v_of_row = np.arange(n) // v_rows
         v_e = rows_of // v_rows  # vreg id per entry
 
         # ---- vreg/tile geometry --------------------------------------
@@ -292,34 +328,49 @@ class WELL:
         kept_pairs = pair_inv[e_ok]
         ke = keep_idx[e_ok]  # kept entry indices into the raw COO
 
-        # ---- windows per tile ----------------------------------------
+        # ---- per-vreg windows ----------------------------------------
         vmin = np.full(nv_pad, np.int64(ncols), dtype=np.int64)
         vmax = np.zeros(nv_pad, dtype=np.int64)
         np.minimum.at(vmin, pv, pc)
         np.maximum.at(vmax, pv, pc)
-        tmin = vmin.reshape(t_count, f).min(axis=1)
-        tmax = vmax.reshape(t_count, f).max(axis=1)
-        tmax = np.maximum(tmax, tmin)
-        # 8-align window starts: the resident-x kernel mode slices the
-        # window out of a VMEM-pinned x2d with sublane-aligned pl.ds
-        q = (tmin // LANES) & ~np.int64(7)
-        win_rows = int((tmax // LANES - q).max() + 1)
-        if win_rows > max_win_rows:
+        has_pairs = vmax >= vmin
+        qv = np.where(has_pairs, (vmin // LANES) & ~np.int64(7), 0)
+        span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
+        if span.max() > min(max_span_rows, 1024):
             raise WellUnsupported(
-                f"tile column span {win_rows * LANES} exceeds the window "
-                f"cap {max_win_rows * LANES}; matrix too unbanded (RCM it)"
+                f"vreg column span {int(span.max()) * LANES} exceeds the "
+                f"window cap {min(max_span_rows, 1024) * LANES}; matrix "
+                "too unbanded (RCM it)"
             )
-        win_rows = max(win_rows, TABLE_ROWS)
-        win_rows = -(-win_rows // TABLE_ROWS) * TABLE_ROWS
-        x2d_rows = int((q + win_rows).max())
-        x2d_rows = max(x2d_rows, -(-ncols // LANES))
-        x2d_rows = -(-x2d_rows // TABLE_ROWS) * TABLE_ROWS
+        # reject truly unbanded matrices: stage A cost is linear in the
+        # vreg span, so a span comparable to the full matrix width means
+        # the windowed gather degenerates (the absolute 1024-row cap
+        # alone admits any matrix below ~131k columns)
+        col_span = (vmax - vmin + 1)[has_pairs]
+        mean_span = float(col_span.mean()) if has_pairs.any() else 0.0
+        if mean_span > 0.35 * ncols and ncols > 16 * LANES:
+            raise WellUnsupported(
+                f"mean vreg column span {mean_span:.0f} is "
+                f"{mean_span / ncols:.0%} of the matrix width; "
+                "not band-structured (RCM it)"
+            )
+        ng_v = (span + 7) // 8
+        NG = int(ng_v.max())
 
-        # ---- amap -----------------------------------------------------
-        amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int8)
+        # tile window (blocked/dma x modes) + x2d extent
+        q_t = qv.reshape(t_count, f).min(axis=1)
+        win_end = (qv + 8 * ng_v).reshape(t_count, f).max(axis=1)
+        win_rows = int((win_end - q_t).max())
+        win_rows = -(-win_rows // 8) * 8
+        x2d_rows = int((qv + 8 * ng_v).max())
+        x2d_rows = max(x2d_rows, -(-ncols // LANES))
+        x2d_rows = -(-x2d_rows // 8) * 8
+
+        # ---- amap (window row of table slot, relative to qv) ---------
+        amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int64)
         ok = np.flatnonzero(pair_ok)
-        hi = pc[ok] // LANES - q[pv[ok] // f]
-        amap[pv[ok], stack[ok], plam[ok]] = hi.astype(np.int8)
+        hi = pc[ok] // LANES - qv[pv[ok]]
+        amap[pv[ok], stack[ok], plam[ok]] = hi
 
         # ---- pass ids + rho -------------------------------------------
         vm_k = vm[ke]  # global vreg-row per kept entry
@@ -327,7 +378,7 @@ class WELL:
         stk_k = stack[kept_pairs]
         trip = (vm_k * LANES + lam_k) * TABLE_ROWS + stk_k
         utrip, trip_inv = _sorted_unique_inverse(trip)
-        tvl = utrip // TABLE_ROWS  # (vm, lane) key per distinct triple
+        tvl = utrip // TABLE_ROWS
         newg = np.concatenate([[True], tvl[1:] != tvl[:-1]])
         gstart = np.maximum.accumulate(
             np.where(newg, np.arange(len(utrip)), 0)
@@ -350,122 +401,96 @@ class WELL:
                 f"{spilled}/{nnz} entries spill outside the WELL layout"
             )
 
-        rho = np.zeros((nv_pad * TABLE_ROWS, max(n_passes, 1), LANES),
-                       dtype=np.int8)
+        rho = np.zeros(
+            (nv_pad * TABLE_ROWS, max_passes, LANES), dtype=np.int64
+        )
         u_ok = passid_u < max_passes
         u_vm = utrip // (TABLE_ROWS * LANES)
         u_lam = (utrip // TABLE_ROWS) % LANES
         u_stk = utrip % TABLE_ROWS
-        rho[u_vm[u_ok], passid_u[u_ok], u_lam[u_ok]] = u_stk[u_ok].astype(
-            np.int8
-        )
+        rho[u_vm[u_ok], passid_u[u_ok], u_lam[u_ok]] = u_stk[u_ok]
 
         # ---- slot arrays ----------------------------------------------
-        lam_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int8)
-        pid_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int8)
+        lam_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int64)
+        pid_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int64)
         data_a = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.float64)
         lane_k = lane[ke]
-        lam_a[vm_k, lane_k] = lam_k.astype(np.int8)
-        pid_a[vm_k, lane_k] = pass_k.astype(np.int8)
+        lam_a[vm_k, lane_k] = lam_k
+        pid_a[vm_k, lane_k] = pass_k
         data_a[vm_k, lane_k] = vals[ke]
 
-        # ---- merge masks + route ---------------------------------------
-        mr = max(merge_rounds, 1)
-        cont = np.zeros((nv_pad * TABLE_ROWS, mr, BLOCKS_PER_VROW),
-                        dtype=np.int8)
+        # ---- packed word: lam | pid<<7 | rho_p<<(9+3p) | amap<<21 ----
+        w = lam_a | (pid_a << 7)
+        for p in range(max_passes):
+            w |= rho[:, p] << (9 + 3 * p)
+        w |= amap.reshape(nv_pad * TABLE_ROWS, LANES) << 21
+        assert w.max(initial=0) < (1 << 31)
+
+        # ---- rts narrow sidecar: route | merge flags ------------------
+        rts = np.zeros((nv_pad * TABLE_ROWS, bpv), dtype=np.int64)
+        rts[np.arange(n) // g, np.arange(n) % g] |= b0
         if merge_rounds:
-            # block → row map per vreg-row
             rr = np.repeat(np.arange(n), nb)
             cum = np.concatenate([[0], np.cumsum(nb)[:-1]])
-            bi = (b0[rr] + np.arange(nb.sum()) - np.repeat(cum, nb))
-            brow = -np.ones((nv_pad * TABLE_ROWS, BLOCKS_PER_VROW),
-                            dtype=np.int64)
+            bi = b0[rr] + np.arange(nb.sum()) - np.repeat(cum, nb)
+            brow = -np.ones(
+                (nv_pad * TABLE_ROWS, bpv), dtype=np.int64
+            )
             brow[rr // g, bi] = rr
             for k in range(merge_rounds):
                 s = 1 << k
-                same = np.zeros_like(cont[:, k], dtype=bool)
-                same[:, : BLOCKS_PER_VROW - s] = (
-                    (brow[:, : BLOCKS_PER_VROW - s] == brow[:, s:])
+                same = np.zeros(
+                    (nv_pad * TABLE_ROWS, bpv), dtype=bool
+                )
+                same[:, : bpv - s] = (
+                    (brow[:, : bpv - s] == brow[:, s:])
                     & (brow[:, s:] >= 0)
                 )
-                jj = np.arange(BLOCKS_PER_VROW)[None, :]
+                jj = np.arange(bpv)[None, :]
                 base = np.zeros_like(brow)
                 rows_valid = brow >= 0
                 base[rows_valid] = b0[brow[rows_valid]]
                 aligned = ((jj - base) % (s << 1)) == 0
-                cont[:, k] = (same & aligned).astype(np.int8)
+                rts |= (same & aligned).astype(np.int64) << (5 + k)
 
-        route = np.zeros((nv_pad * TABLE_ROWS, BLOCKS_PER_VROW),
-                         dtype=np.int8)
-        route[np.arange(n) // g, np.arange(n) % g] = b0.astype(np.int8)
-
-        # ---- per-vreg dynamic bounds (kernel skip predicates) -----------
-        n_groups_win = (win_rows + TABLE_ROWS - 1) // TABLE_ROWS
-        q_of_v = np.repeat(q, f)[:nv_pad]
-        has_pairs = vmax >= vmin
-        # divide only the real branch by TABLE_ROWS; the empty-vreg
-        # sentinels (n_groups_win / -1) are already in group units
-        glo = np.where(
-            has_pairs, (vmin // LANES - q_of_v) // TABLE_ROWS, n_groups_win
-        )
-        ghi = np.where(
-            has_pairs, (vmax // LANES - q_of_v) // TABLE_ROWS, -1
-        )
-        glo = np.clip(glo, 0, n_groups_win - 1)
-        ghi = np.clip(ghi, -1, n_groups_win - 1)
-        p_hi = np.zeros(nv_pad, dtype=np.int64)
+        # ---- per-tile diagnostics bounds ------------------------------
+        phi_v = np.zeros(nv_pad, dtype=np.int64)
         if len(ke):
-            np.maximum.at(p_hi, vm_k // TABLE_ROWS, pass_k + 1)
-        gb = np.stack(
-            [glo, np.where(has_pairs, ghi, -1), p_hi], axis=-1
-        ).astype(np.int32)
+            np.maximum.at(phi_v, vm_k // TABLE_ROWS, pass_k + 1)
+        pt = phi_v.reshape(t_count, f).max(axis=1)
+        gt = ng_v.reshape(t_count, f).max(axis=1)
 
-        # ---- extras -----------------------------------------------------
-        ex = np.flatnonzero(~keep)
+        # ---- extras (deduped by row for the sorted+unique scatter) -----
+        ex = np.flatnonzero(~keep)  # row-major → rows_of[ex] sorted
+        ex_urows, ex_seg = np.unique(rows_of[ex], return_inverse=True)
 
-        # ---- pack to (T, ...) device arrays -----------------------------
-        def tile(a, inner):
+        def tile(a, inner, dt):
             return jnp.asarray(
-                a.reshape((t_count,) + inner), dtype=a.dtype
+                a.reshape((t_count,) + inner).astype(dt)
             )
 
-        # slot-domain word: lam | pid<<7 | route<<10 | merge flags<<14
-        assert merge_rounds <= 4 and n_passes <= 4
-        w1 = (
-            lam_a.astype(np.int64)
-            | (pid_a.astype(np.int64) << 7)
-        )
-        w1[:, :BLOCKS_PER_VROW] |= route.astype(np.int64) << 10
-        for k in range(merge_rounds):
-            w1[:, :BLOCKS_PER_VROW] |= cont[:, k].astype(np.int64) << (
-                14 + k
-            )
-        # table-domain word: rho per pass at bits 3p, amap at bits 12-18
-        w2 = np.zeros((nv_pad * TABLE_ROWS, LANES), dtype=np.int64)
-        for p in range(max(n_passes, 1)):
-            w2 |= rho.reshape(nv_pad * TABLE_ROWS, -1, LANES)[
-                :, p
-            ].astype(np.int64) << (3 * p)
-        w2 |= amap.reshape(nv_pad * TABLE_ROWS, LANES).astype(
-            np.int64
-        ) << 12
         return WELL(
-            q=jnp.asarray(q, dtype=jnp.int32),
+            q=jnp.asarray(q_t, dtype=jnp.int32),
+            qv=jnp.asarray(qv, dtype=jnp.int32),
+            gt=jnp.asarray(gt, dtype=jnp.int32),
+            pt=jnp.asarray(pt, dtype=jnp.int32),
             data=jnp.asarray(
                 data_a.reshape(t_count, m_rows, LANES), dtype=dtype
             ),
-            w1=tile(w1.astype(np.int32), (m_rows, LANES)),
-            w2=tile(w2.astype(np.int32), (m_rows, LANES)),
-            gb=jnp.asarray(gb.reshape(t_count, f, 3), dtype=jnp.int32),
-            extra_rows=jnp.asarray(rows_of[ex], dtype=jnp.int32),
+            w=tile(w, (m_rows, LANES), np.int32),
+            rts=tile(rts, (m_rows, bpv), np.int32),
+            extra_rows=jnp.asarray(ex_urows, dtype=jnp.int32),
+            extra_seg=jnp.asarray(ex_seg, dtype=jnp.int32),
             extra_cols=jnp.asarray(indices[ex], dtype=jnp.int32),
             extra_vals=jnp.asarray(vals[ex], dtype=dtype),
             shape=(int(n), int(ncols)),
             nnz=int(nnz),
+            block=int(block),
             win_rows=int(win_rows),
             x2d_rows=int(x2d_rows),
             rows_per_vrow=int(g),
             vregs_per_tile=int(f),
+            n_groups=int(NG),
             n_passes=int(max(n_passes, 1)),
             merge_rounds=int(merge_rounds),
             block_size=int(getattr(csr, "block_size", 1)),

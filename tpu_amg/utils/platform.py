@@ -19,6 +19,7 @@ import jax
 
 
 def apply_env_platform(cache_dir: str = "/tmp/tpu_amg_jax_cache") -> None:
+    cache_dir = os.environ.get("TPU_AMG_CACHE_DIR", cache_dir)
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         # keep the host cpu backend registered alongside the accelerator
