@@ -268,7 +268,7 @@ class TestSubMeshRedistribution:
         from tpu_amg.sparse import ELL
 
         mesh = jax.make_mesh((4, 2), ("x", "y"))
-        jax.set_mesh(mesh)
+        ctx = jax.set_mesh(mesh)  # restored below — leaks into later tests
         a = poisson2d(16)  # 256 dofs: 8 | full mesh
         fine = shard_ell(ELL.from_csr(a), mesh, axis=("x", "y"))
         mid_csr = poisson2d(8)  # 64 dofs: shard over y only
@@ -287,8 +287,80 @@ class TestSubMeshRedistribution:
             rf = reshard(yf, P())[:64]
             return jnp.sum(ym * rf)
 
-        val = step(fine, mid, x_f, x_m)
-        ref = float(
-            np.dot(mid_csr.matvec(np.ones(64)), a.matvec(np.ones(256))[:64])
+        try:
+            val = step(fine, mid, x_f, x_m)
+            ref = float(
+                np.dot(
+                    mid_csr.matvec(np.ones(64)),
+                    a.matvec(np.ones(256))[:64],
+                )
+            )
+            np.testing.assert_allclose(float(val), ref, rtol=1e-10)
+        finally:
+            ctx.__exit__(None, None, None)
+
+
+class TestHaloWELL:
+    """Sharded WELL — the distributed production unstructured SpMV
+    (round-4 closure of the ELL/DIA-only halo gap)."""
+
+    def _system(self):
+        import scipy.sparse as sps
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        from scipy.spatial import Delaunay
+
+        rng = np.random.default_rng(0)
+        side = 64
+        n_pts = side * side  # 4096 = 8 * 512
+        gx, gy = np.meshgrid(np.arange(side, dtype=np.float64),
+                             np.arange(side, dtype=np.float64))
+        pts = np.stack([gx.ravel(), gy.ravel()], 1)
+        pts += rng.uniform(-0.35, 0.35, pts.shape)
+        tri = Delaunay(pts[rng.permutation(n_pts)])
+        e = np.concatenate([tri.simplices[:, [0, 1]],
+                            tri.simplices[:, [1, 2]],
+                            tri.simplices[:, [2, 0]]])
+        i = np.concatenate([e[:, 0], e[:, 1]])
+        j = np.concatenate([e[:, 1], e[:, 0]])
+        a = sps.coo_matrix((np.ones(len(i)), (i, j)),
+                           shape=(n_pts, n_pts)).tocsr()
+        a.sum_duplicates()
+        a.data[:] = -1.0
+        a = (a + sps.diags(np.asarray(-a.sum(axis=1)).ravel() + 1e-8)
+             ).tocsr()
+        p = reverse_cuthill_mckee(a, symmetric_mode=True)
+        ap = a[p][:, p].tocsr()
+        ap.sort_indices()
+        return ap
+
+    def test_halo_well_matches_single(self, mesh):
+        from tpu_amg.parallel.halo import HaloWELL
+        from tpu_amg.sparse.csr import CSR
+
+        ap = self._system()
+        n = ap.shape[0]
+        hw = HaloWELL.from_csr(CSR.from_scipy(ap), mesh)
+        assert hw.halo <= hw.n_loc_rows
+        x = np.random.default_rng(1).normal(size=n).astype(np.float32)
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(hw.mv(xs))
+        ref = ap @ x
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
         )
-        np.testing.assert_allclose(float(val), ref, rtol=1e-10)
+
+    def test_halo_well_multivector(self, mesh):
+        from tpu_amg.parallel.halo import HaloWELL
+        from tpu_amg.sparse.csr import CSR
+
+        ap = self._system()
+        n = ap.shape[0]
+        hw = HaloWELL.from_csr(CSR.from_scipy(ap), mesh)
+        xs = np.random.default_rng(2).normal(size=(n, 2)).astype(
+            np.float32)
+        xss = shard_vector(jnp.asarray(xs), mesh)
+        ys = np.asarray(hw.mm(xss))
+        ref = ap @ xs
+        np.testing.assert_allclose(
+            ys, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
+        )

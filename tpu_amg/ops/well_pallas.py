@@ -328,7 +328,10 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             num_segments=well.extra_rows.shape[0],
             indices_are_sorted=True,
         )
+        # mode="drop": HaloWELL pads shards' extras to a common length
+        # with out-of-range rows (sparse/well.py builds never emit them)
         y = y.at[well.extra_rows].add(
-            sums, indices_are_sorted=True, unique_indices=True
+            sums, indices_are_sorted=True, unique_indices=True,
+            mode="drop",
         )
     return y

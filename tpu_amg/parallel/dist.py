@@ -110,12 +110,22 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-def try_shard_halo(mat, mesh: Mesh, axis="x"):
+def try_shard_halo(mat, mesh: Mesh, axis="x", prefer_well: bool | None = None):
     """Halo-sharded version of an ELL/DIA matrix, or None when the band
     assumption (or divisibility) fails — callers fall back to the
     all-gather path.  This is what makes ppermute halo exchange the
     *production* distributed SpMV (BASELINE.json north star) rather
-    than a standalone benchmark."""
+    than a standalone benchmark.
+
+    Square banded ELL matrices large enough for the windowed-gather
+    kernel get the HaloWELL form (parallel/halo.py): per-shard WELL
+    built from the row-local band, ring halo exchange + local Pallas
+    SpMV — the distributed production unstructured path.  HaloELL's
+    XLA-gather body (~50x slower per nnz on TPU) remains the fallback.
+    """
+    from tpu_amg.parallel.halo import HaloWELL
+    from tpu_amg.sparse.well import WellUnsupported
+
     if isinstance(axis, (tuple, list)):
         if len(axis) != 1:
             return None
@@ -124,6 +134,20 @@ def try_shard_halo(mat, mesh: Mesh, axis="x"):
         if isinstance(mat, DIA):
             return HaloDIA.from_dia(mat, mesh, axis)
         if isinstance(mat, ELL):
+            if prefer_well is None:
+                prefer_well = (
+                    mat.shape[0] == mat.shape[1]
+                    and mat.nrows >= 4096
+                    and jnp.dtype(mat.dtype).itemsize <= 4
+                    and mat.nrows % mesh.shape[axis] == 0
+                )
+            if prefer_well:
+                try:
+                    return HaloWELL.from_csr(
+                        mat.to_csr(), mesh, axis, dtype=mat.dtype
+                    )
+                except (ValueError, WellUnsupported):
+                    pass
             return HaloELL.from_ell(mat, mesh, axis)
     except ValueError:
         return None

@@ -59,7 +59,7 @@ class SolverConfig:
     # coarse level measured 0.2 ms dense vs 0.6 ms as the best sparse
     # format on TPU).  Memory is n² — 8192² f32 is 268 MB.
     dense_threshold: int = 2048
-    mu: int = 1
+    mu: Optional[int] = None  # auto: 1 for SA, 2 for classical
     block_smoother_size: float = 128.0
     composite_components: int = 3  # for method="adaptive"
     reorder: bool = False  # RCM renumbering (utils/reorder.py) before setup

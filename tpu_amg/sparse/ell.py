@@ -113,6 +113,24 @@ class ELL:
     def astype(self, dtype) -> "ELL":
         return dataclasses.replace(self, data=self.data.astype(dtype))
 
+    def to_csr(self):
+        """Host CSR from the padded device layout (zero slots dropped);
+        the bridge back to construction-time algorithms (HaloWELL
+        sharding, SpGEMM) that need the raw sparsity."""
+        import numpy as np
+
+        from tpu_amg.sparse.csr import CSR
+
+        data = np.asarray(self.data, dtype=np.float64)
+        cols = np.asarray(self.cols, dtype=np.int64)
+        rows = np.broadcast_to(
+            np.arange(self.nrows, dtype=np.int64)[:, None], cols.shape
+        )
+        keep = data != 0
+        return CSR.from_coo(
+            rows[keep], cols[keep], data[keep], self.shape
+        ).with_block_size(self.block_size)
+
     # ------------------------------------------------------------------
     # compute path
     # ------------------------------------------------------------------
