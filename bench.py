@@ -219,9 +219,10 @@ def main():
         print("# building unstructured system...", file=sys.stderr, flush=True)
         ap = unstructured_fem_system(side)
         from tpu_amg.sparse.csr import CSR
-        from tpu_amg.sparse.well import WELL
+        from tpu_amg.sparse.hybrid import try_hybrid_or_well
 
-        well = WELL.from_csr(CSR.from_scipy(ap), dtype=jnp.float32)
+        well = try_hybrid_or_well(CSR.from_scipy(ap), dtype=jnp.float32)
+        assert well is not None
         print(f"# {well}", file=sys.stderr, flush=True)
         xu = jnp.ones((ap.shape[0],), dtype=jnp.float32)
         print("# timing unstructured spmv...", file=sys.stderr, flush=True)

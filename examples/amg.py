@@ -69,7 +69,8 @@ def parse_args():
     p.add_argument("--smoother", type=str, default="block",
                    choices=["block", "chebyshev", "l1", "l2", "jacobi"])
     p.add_argument("--chebyshev-degree", type=int, default=3)
-    p.add_argument("--mu", type=int, default=1)
+    p.add_argument("--mu", type=int, default=None,
+               help="cycle index (default: auto — 1 for SA, 2 for classical)")
     p.add_argument("--composite", type=int, default=None,
                    help="adaptive composite with N components")
     p.add_argument("--structured", action="store_true",

@@ -196,12 +196,11 @@ def _pick_format(
     def try_well():
         if not prefer_well or not csr.is_square:
             return None
-        from tpu_amg.sparse.well import WELL, WellUnsupported
+        from tpu_amg.sparse.hybrid import try_hybrid_or_well
 
-        try:
-            return WELL.from_csr(csr, dtype=dtype)
-        except WellUnsupported:
-            return None
+        # hybrid DIA+WELL split when the diagonal mass supports it
+        # (sparse/hybrid.py), plain WELL otherwise
+        return try_hybrid_or_well(csr, dtype=dtype)
 
     banded_mat = None
     mean_nnz = csr.nnz / max(csr.nrows, 1)

@@ -161,6 +161,44 @@ def anisotropic_diffusion_2d(
     )
 
 
+def unstructured_poisson_2d(
+    side: int, seed: int = 0, jitter: float = 0.35, rcm: bool = True,
+    diag_shift: float = 1e-8,
+) -> CSR:
+    """Pseudo-unstructured 2-D FEM-graph Laplacian: jittered side² grid
+    points, randomly renumbered, Delaunay-triangulated, then
+    RCM-reordered — the matrix class the reference's MFEM loader serves
+    (reference utils.rs:269-350) and the hard case for TPU SpMV."""
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    n_pts = side * side
+    gx, gy = np.meshgrid(np.arange(side, dtype=np.float64),
+                         np.arange(side, dtype=np.float64))
+    pts = np.stack([gx.ravel(), gy.ravel()], 1)
+    pts += rng.uniform(-jitter, jitter, pts.shape)
+    tri = Delaunay(pts[rng.permutation(n_pts)])
+    e = np.concatenate([tri.simplices[:, [0, 1]],
+                        tri.simplices[:, [1, 2]],
+                        tri.simplices[:, [2, 0]]])
+    i = np.concatenate([e[:, 0], e[:, 1]])
+    j = np.concatenate([e[:, 1], e[:, 0]])
+    a = sps.coo_matrix((np.ones(len(i)), (i, j)),
+                       shape=(n_pts, n_pts)).tocsr()
+    a.sum_duplicates()
+    a.data[:] = -1.0
+    a = (
+        a + sps.diags(np.asarray(-a.sum(axis=1)).ravel() + diag_shift)
+    ).tocsr()
+    if rcm:
+        p = reverse_cuthill_mckee(a, symmetric_mode=True)
+        a = a[p][:, p].tocsr()
+    a.sort_indices()
+    return CSR.from_scipy(a)
+
+
 def unstructured_poisson_3d(
     side: int, seed: int = 0, jitter: float = 0.3, rcm: bool = True,
     return_coords: bool = False,
