@@ -28,6 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=33,
                     help="grid points per dim (n^3*3 dofs)")
+    ap.add_argument("--unstructured", action="store_true",
+                    help="jittered-Delaunay truss elasticity (block-RCM "
+                         "ordered; utils/problems.py "
+                         "unstructured_elasticity_3d) instead of the "
+                         "structured hex grid")
     ap.add_argument("--reps", type=int, default=400)
     ap.add_argument("--no-solve", action="store_true")
     args = ap.parse_args()
@@ -45,10 +50,14 @@ def main():
     from tpu_amg.sparse.dia import try_from_csr
     from tpu_amg.sparse.ell import ELL
     from tpu_amg.sparse.well import WELL, WellUnsupported
-    from tpu_amg.utils.problems import elasticity_3d
+    from tpu_amg.utils.problems import (
+        elasticity_3d,
+        unstructured_elasticity_3d,
+    )
 
     t0 = time.perf_counter()
-    a = elasticity_3d(args.n)
+    a = (unstructured_elasticity_3d(args.n) if args.unstructured
+         else elasticity_3d(args.n))
     print(f"# elasticity n={a.nrows} nnz={a.nnz} block={a.block_size} "
           f"(built {time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
     x = jnp.ones((a.nrows,), dtype=jnp.float32)
@@ -73,6 +82,14 @@ def main():
         return best
 
     fmts = {}
+    if args.unstructured:
+        from tpu_amg.sparse.hybrid import HybridDiaWell
+
+        try:
+            hyb = HybridDiaWell.from_csr(a, dtype=jnp.float32)
+            fmts["hybrid"] = (time_mv(hyb), repr(hyb)[:80])
+        except WellUnsupported as e:
+            print(f"# hybrid unsupported: {e}", file=sys.stderr)
     dia = try_from_csr(a, dtype=jnp.float32, max_diags=200)
     if dia is not None:
         fmts["dia"] = (time_mv(dia), f"{dia.data.shape[0]} diagonals")
@@ -91,7 +108,7 @@ def main():
         ell = ELL.from_csr(a, dtype=jnp.float32)
         fmts["ell"] = (time_mv(ell), f"k={ell.k}")
 
-    out = {"metric": "elasticity3d_formats", "n": a.nrows, "nnz": a.nnz}
+    out = {"metric": "elasticity3d_unstructured_formats" if args.unstructured else "elasticity3d_formats", "n": a.nrows, "nnz": a.nnz}
     for name, (dt, desc) in fmts.items():
         gnnzs = a.nnz / dt / 1e9
         out[f"{name}_gnnzs"] = round(gnnzs, 3)

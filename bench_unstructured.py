@@ -1,15 +1,20 @@
 """Unstructured-FEM end-to-end bench: V-cycle + AMG-PCG solve wall time
-on a Delaunay-triangulated 2-D FEM Laplacian (the matrix class the
+on a Delaunay-triangulated FEM Laplacian (the matrix class the
 reference's MFEM loader exists for, reference utils.rs:269-350 — and the
 gather-hostile case on TPU).
 
 Builds the same pseudo-unstructured system as bench.py (jittered grid,
-random renumbering, RCM), runs the full algebraic SA setup, and times:
+random renumbering, Delaunay, RCM), runs the full algebraic SA setup,
+and times:
   - one V-cycle (f32 and bf16_values precision modes),
   - the full PCG solve to rtol 1e-6.
 
-Prints one JSON line.  Usage: python bench_unstructured.py [--side 512]
-(side² dofs: 512 → 262k).
+Prints one JSON line.
+Usage: python bench_unstructured.py [--side 512]        # side² dofs
+       python bench_unstructured.py --dim 3 [--side 101]  # side³ dofs
+--dim 3 is BASELINE.json configs[2]: ~1M-dof 3-D unstructured Poisson,
+SA V-cycle + PCG, single chip (tet-mesh band statistics: ~16 nnz/row,
+RCM spans ~580 x2d rows at 1M — the WELL 10-bit window field's case).
 """
 
 import argparse
@@ -27,7 +32,9 @@ def _sync(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", type=int, default=None,
-                    help="grid side (side^2 dofs); default 512 TPU / 64 CPU")
+                    help="grid side (side^dim dofs); defaults: dim 2 -> "
+                         "512 TPU / 64 CPU, dim 3 -> 101 TPU / 12 CPU")
+    ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
     ap.add_argument("--reps", type=int, default=None)
     args = ap.parse_args()
 
@@ -38,18 +45,26 @@ def main():
 
     apply_env_platform()
     on_tpu = jax.devices()[0].platform == "tpu"
-    side = args.side or (512 if on_tpu else 64)
+    if args.dim == 3:
+        side = args.side or (101 if on_tpu else 12)
+    else:
+        side = args.side or (512 if on_tpu else 64)
     reps = args.reps or (200 if on_tpu else 3)
 
-    from bench import unstructured_fem_system
     from tpu_amg.precision import cast_preconditioner
     from tpu_amg.solver import AMGSolver, SolverConfig
     from tpu_amg.solvers import cg
     from tpu_amg.sparse.csr import CSR
+    from tpu_amg.utils.problems import (
+        unstructured_poisson_2d,
+        unstructured_poisson_3d,
+    )
 
     t0 = time.perf_counter()
-    ap_sp = unstructured_fem_system(side)
-    a = CSR.from_scipy(ap_sp)
+    if args.dim == 3:
+        a = unstructured_poisson_3d(side)
+    else:
+        a = unstructured_poisson_2d(side)
     print(f"# unstructured n={a.nrows} nnz={a.nnz} "
           f"(built {time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
 
@@ -72,9 +87,19 @@ def main():
         ),
     )
     mg = solver.preconditioner
-    print(f"# setup {time.perf_counter()-t0:.1f}s, "
+    t_setup = time.perf_counter() - t0
+    print(f"# setup {t_setup:.1f}s, "
           f"op complexity {solver.hierarchy.op_complexity():.2f}",
           file=sys.stderr, flush=True)
+    # per-level device-format table (BASELINE configs[2] evidence)
+    for i, lvl in enumerate(getattr(mg, "levels", ())):
+        a_l = lvl.a
+        fmt = type(getattr(a_l, "ell", a_l)).__name__
+        side_fmt = type(getattr(a_l, "well", None)).__name__
+        print(f"# level {i}: n={a_l.shape[0]} fmt={fmt}"
+              + (f" mv={side_fmt}" if getattr(a_l, "well", None) is not None
+                 else ""),
+              file=sys.stderr, flush=True)
 
     x = jnp.ones(a.nrows, dtype=jnp.float32)
 
@@ -136,7 +161,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"unstructured_fem_vcycle_{a.nrows}",
+                "metric": f"unstructured_fem{args.dim}d_vcycle_{a.nrows}",
+                "setup_s": round(t_setup, 1),
                 "value": round(dt_f32 * 1e3, 4),
                 "unit": "ms",
                 "vs_baseline": round(dt_f32 / dt_16, 4),

@@ -248,6 +248,79 @@ def unstructured_poisson_3d(
     return csr
 
 
+def unstructured_elasticity_3d(
+    side: int, seed: int = 0, jitter: float = 0.3, k_reg: float = 0.3,
+    diag_shift: float = 1e-8, rcm: bool = True,
+) -> CSR:
+    """Unstructured 3-D vector elasticity: truss (lattice-spring)
+    stiffness on a jittered-grid Delaunay tet mesh, 3 dofs per node
+    (``block_size = 3``).
+
+    Each edge (i, j) with unit direction n contributes the SPD 3×3
+    block K = n nᵀ + k_reg·I to the four block positions of a standard
+    stiffness assembly — the classic truss/spring elasticity model,
+    whose near-null space is the rigid translations (+ approximate
+    rotations), i.e. exactly the vector-dof matrix class the reference
+    targets (core.rs:22-36, block_smoothers.rs:326-399) on an
+    UNSTRUCTURED mesh.  Ordering is block-RCM: RCM on the node graph,
+    dofs grouped node-major so 3-dof blocks stay contiguous.
+    """
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    n_pts = side**3
+    gx, gy, gz = np.meshgrid(*(np.arange(side, dtype=np.float64),) * 3)
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], 1)
+    pts += rng.uniform(-jitter, jitter, pts.shape)
+    perm0 = rng.permutation(n_pts)
+    pts = pts[perm0]
+    tri = Delaunay(pts)
+    s = tri.simplices
+    e = np.concatenate([
+        s[:, [0, 1]], s[:, [0, 2]], s[:, [0, 3]],
+        s[:, [1, 2]], s[:, [1, 3]], s[:, [2, 3]],
+    ])
+    e.sort(axis=1)
+    key = e[:, 0].astype(np.int64) * n_pts + e[:, 1]
+    order = np.argsort(key)
+    sk = key[order]
+    first = np.concatenate([[True], sk[1:] != sk[:-1]])
+    e = e[order[first]]
+    i, j = e[:, 0], e[:, 1]
+
+    d = pts[j] - pts[i]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    k_blk = d[:, :, None] * d[:, None, :] + k_reg * np.eye(3)  # (E,3,3)
+
+    # block COO: (i,i)+K (j,j)+K (i,j)-K (j,i)-K, expanded to scalars
+    br = np.concatenate([i, j, i, j])
+    bc = np.concatenate([i, j, j, i])
+    bv = np.concatenate([k_blk, k_blk, -k_blk, -k_blk])
+    a3 = np.arange(3)
+    rows = (3 * br[:, None, None] + a3[None, :, None]).repeat(3, axis=2)
+    cols = (3 * bc[:, None, None] + a3[None, None, :]).repeat(3, axis=1)
+    a = sps.coo_matrix(
+        (bv.ravel(), (rows.ravel(), cols.ravel())),
+        shape=(3 * n_pts, 3 * n_pts),
+    ).tocsr()
+    a = a + sps.eye(3 * n_pts) * diag_shift
+    if rcm:
+        # block-RCM: permute NODES (via the node adjacency), keep the
+        # 3 dofs of each node contiguous
+        adj = sps.coo_matrix(
+            (np.ones(2 * len(i)), (np.concatenate([i, j]),
+                                   np.concatenate([j, i]))),
+            shape=(n_pts, n_pts),
+        ).tocsr()
+        p_node = reverse_cuthill_mckee(adj, symmetric_mode=True)
+        p = (3 * np.asarray(p_node)[:, None] + a3[None, :]).ravel()
+        a = a[p][:, p].tocsr()
+    a.sort_indices()
+    return CSR.from_scipy(a).with_block_size(3)
+
+
 def elasticity_3d(nx: int, ny: int = None, nz: int = None, nu: float = 0.3) -> CSR:
     """3-D linear elasticity on a structured hex grid (trilinear elements),
     Dirichlet on the full boundary; 3 dofs per node, ``block_size = 3``
