@@ -184,5 +184,89 @@ def solver_weak_scaling(iters: int = 40):
     )
 
 
+def comm_accounting(mg_sh, mesh, n_fine, axis="x"):
+    """Static per-level communication table for a sharded multigrid: the
+    ICI bytes each SpMV moves (ring halo slabs) vs the bytes an
+    all-gather fallback would move — the weak-scaling evidence the
+    virtual-mesh timings cannot provide (host oversubscription noise;
+    MEASURED.md round-3 caveat).  Every term is exact from the sharded
+    operators' static metadata, not modeled."""
+    import jax.numpy as jnp
+
+    from tpu_amg.parallel.halo import HaloDIA, HaloELL, HaloWELL
+
+    nd = mesh.shape[axis]
+    rows = []
+    for i, lvl in enumerate(getattr(mg_sh, "levels", ())):
+        a = getattr(lvl.a, "ell", lvl.a)
+        n = a.shape[0]
+        itemsize = jnp.dtype(getattr(a, "dtype", jnp.float32)).itemsize
+        if isinstance(a, (HaloELL, HaloDIA, HaloWELL)):
+            halo_b = 2 * a.halo * itemsize  # two ring slabs per device
+            allg_b = (nd - 1) * (n // nd) * itemsize
+            rows.append({
+                "level": i, "n": n, "fmt": type(a).__name__,
+                "halo": int(a.halo),
+                "halo_bytes_per_spmv_per_dev": int(halo_b),
+                "allgather_bytes_per_spmv_per_dev": int(allg_b),
+                "comm_reduction": round(allg_b / max(halo_b, 1), 1),
+            })
+        else:
+            rows.append({
+                "level": i, "n": n, "fmt": type(a).__name__,
+                "replicated": True,
+            })
+    return rows
+
+
+def comm_table(iters: int = 3):
+    """Build the dry-run production hierarchy sharded over the full
+    mesh and print its per-level comm table + (optionally) dump a
+    profiler trace of one sharded solve for collective-time inspection
+    (TPU_AMG_SCALING_TRACE=<dir>)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from tpu_amg.linop import SparseOperator
+    from tpu_amg.parallel import make_solver_mesh, pad_ell_identity, shard_multigrid
+    from tpu_amg.parallel.dist import shard_vector, try_shard_halo
+    from tpu_amg.solvers import cg
+
+    nd = len(jax.devices())
+    a, op, mg = ge._build_deep_amg(nd)
+    mesh = make_solver_mesh(nd)
+    jax.set_mesh(mesh)
+    ell = pad_ell_identity(op.ell, nd)
+    halo = try_shard_halo(ell, mesh)
+    a_sh = SparseOperator(ell=halo)
+    mg_sh = shard_multigrid(mg, mesh, replicate_below=600)
+    table = comm_accounting(mg_sh, mesh, a.nrows)
+    # the fine-level operator itself (outside mg levels)
+    fine = comm_accounting(
+        type("L", (), {"levels": [type("V", (), {"a": a_sh})()]})(),
+        mesh, a.nrows,
+    )
+    for row in fine:
+        row["level"] = "fine(A)"
+        print(json.dumps({"metric": "comm_accounting", **row}), flush=True)
+    for row in table:
+        print(json.dumps({"metric": "comm_accounting", **row}), flush=True)
+
+    trace_dir = os.environ.get("TPU_AMG_SCALING_TRACE")
+    b = shard_vector(jnp.ones(ell.nrows, dtype=jnp.float32), mesh)
+    solve = jax.jit(lambda a_, b_, m_: cg(a_, b_, m_, rtol=0.0,
+                                          maxiter=iters)[0])
+    _sync(solve(a_sh, b, mg_sh))  # compile
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            _sync(solve(a_sh, b, mg_sh))
+        print(f"# profiler trace written to {trace_dir} (collective time "
+              "share: inspect ppermute/all-gather ops)", file=sys.stderr)
+
+
 if __name__ == "__main__":
     main()
+    comm_table()
