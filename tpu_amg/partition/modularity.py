@@ -71,6 +71,13 @@ class PartitionerConfig:
     # the reference instead panics on too-small aggregates,
     # interpolation/mod.rs:756-761)
     min_agg_size: int = 0
+    # stop the local-move improvement once a pass's total modularity
+    # gain drops below this fraction of the FIRST pass's gain: the tail
+    # of the loop finds ever-tinier rearrangements (262k Delaunay:
+    # ~87 passes x 46 ms of native move-scoring = 16 s of the 58 s
+    # setup) with no measurable effect on aggregate quality or solve
+    # iterations.  0 restores the reference's fixed-iteration behavior.
+    improvement_tol: float = 1e-3
     callback: Optional[Callable[[int, "ModularityPartitioner"], None]] = None
 
     def build(
@@ -391,6 +398,7 @@ class ModularityPartitioner:
         indptr = self.base_graph.adj.indptr
         indices = self.base_graph.adj.indices
         node_to_agg = self.partition.node_to_agg.copy()
+        dq_first = None
         for it in range(self.config.max_improvement_iters):
             self.partition = Partition(node_to_agg)
             node_to_agg = self.partition.node_to_agg.copy()
@@ -410,6 +418,16 @@ class ModularityPartitioner:
             if self.config.callback is not None:
                 self.config.callback(it, self)
             logger.debug("improvement pass %d: %d swaps", it, swaps)
+            dq_total = float(dq.sum())
+            if dq_first is None:
+                dq_first = max(dq_total, 1e-300)
+            elif dq_total < self.config.improvement_tol * dq_first:
+                logger.debug(
+                    "improvement converged after %d passes "
+                    "(gain %.2e < %.0e of first pass)",
+                    it + 1, dq_total, self.config.improvement_tol,
+                )
+                break
         self.partition = Partition(node_to_agg)
         if self.config.split_disconnected:
             self.partition = self._split_disconnected(self.partition)
