@@ -17,6 +17,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", type=int, default=101)
     ap.add_argument("--out", type=str, default="/tmp/h3d.npz")
+    ap.add_argument("--elasticity", action="store_true",
+                    help="block-3 truss elasticity on the tet mesh "
+                         "instead of scalar Poisson")
     args = ap.parse_args()
 
     import os
@@ -27,17 +30,32 @@ def main():
     import jax.numpy as jnp
 
     from tpu_amg.solver import AMGSolver, SolverConfig
-    from tpu_amg.utils.problems import unstructured_poisson_3d
+    from tpu_amg.utils.problems import (
+        unstructured_elasticity_3d,
+        unstructured_poisson_3d,
+    )
 
     t0 = time.perf_counter()
-    a = unstructured_poisson_3d(args.side)
+    a = (unstructured_elasticity_3d(args.side) if args.elasticity
+         else unstructured_poisson_3d(args.side))
     t_sys = time.perf_counter() - t0
-    print(f"# system n={a.nrows} nnz={a.nnz} built {t_sys:.0f}s",
-          file=sys.stderr, flush=True)
+    print(f"# system n={a.nrows} nnz={a.nnz} block={a.block_size} "
+          f"built {t_sys:.0f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    solver = AMGSolver.setup(
-        a,
-        SolverConfig(
+    if args.elasticity:
+        cfg = SolverConfig(
+            coarsening_near_null_dim=12,
+            interp_near_null_dim=6,  # rigid modes span 6
+            coarsening_factor=16.0,
+            smoothing_steps=1,
+            smoothing_iters=8,
+            coarsest_dim=1500,
+            dtype=jnp.float32,
+            dense_threshold=8192,
+            setup_on_host=True,
+        )
+    else:
+        cfg = SolverConfig(
             coarsening_near_null_dim=8,
             interp_near_null_dim=2,
             # 3-D scalar: keep cf*cd >= ~25 (SolverConfig note) so the
@@ -49,8 +67,8 @@ def main():
             dtype=jnp.float32,
             dense_threshold=8192,
             setup_on_host=True,
-        ),
-    )
+        )
+    solver = AMGSolver.setup(a, cfg)
     t_setup = time.perf_counter() - t0
     print(f"# setup {t_setup:.0f}s op_cplx "
           f"{solver.hierarchy.op_complexity():.2f} "

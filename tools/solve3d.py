@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--side", type=int, default=101)
     ap.add_argument("--ckpt", type=str, default="/tmp/h3d_1M.npz")
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--elasticity", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -36,10 +37,14 @@ def main():
 
     from tpu_amg.solver import AMGSolver, SolverConfig
     from tpu_amg.solvers import cg
-    from tpu_amg.utils.problems import unstructured_poisson_3d
+    from tpu_amg.utils.problems import (
+        unstructured_elasticity_3d,
+        unstructured_poisson_3d,
+    )
 
     t0 = time.perf_counter()
-    a = unstructured_poisson_3d(args.side)
+    a = (unstructured_elasticity_3d(args.side) if args.elasticity
+         else unstructured_poisson_3d(args.side))
     print(f"# system n={a.nrows} nnz={a.nnz} rebuilt "
           f"{time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
@@ -95,7 +100,8 @@ def main():
     print(f"# solve: {dt_solve*1e3:.0f}ms {int(it)} iters res "
           f"{float(res):.2e}", file=sys.stderr, flush=True)
     print(json.dumps({
-        "metric": f"unstructured3d_poisson_solve_{a.nrows}",
+        "metric": ("unstructured3d_elasticity_solve_" if args.elasticity
+                   else "unstructured3d_poisson_solve_") + str(a.nrows),
         "value": round(dt_solve * 1e3, 1),
         "unit": "ms",
         "vcycle_ms": round(best * 1e3, 3),
