@@ -250,7 +250,7 @@ def unstructured_poisson_3d(
 
 def unstructured_elasticity_3d(
     side: int, seed: int = 0, jitter: float = 0.3, k_reg: float = 0.3,
-    diag_shift: float = 1e-8, rcm: bool = True,
+    diag_shift: float = 1e-8, rcm: bool = True, pin_face: bool = True,
 ) -> CSR:
     """Unstructured 3-D vector elasticity: truss (lattice-spring)
     stiffness on a jittered-grid Delaunay tet mesh, 3 dofs per node
@@ -306,6 +306,16 @@ def unstructured_elasticity_3d(
         shape=(3 * n_pts, 3 * n_pts),
     ).tocsr()
     a = a + sps.eye(3 * n_pts) * diag_shift
+    if pin_face:
+        # ground springs on the z~0 face (the Dirichlet analog): a
+        # free-floating truss has 6 rigid near-null modes at the
+        # diag_shift scale, which makes the coarsest-level factorization
+        # meaningless in f32
+        pinned = np.flatnonzero(pts[:, 2] < 0.6)
+        dof = (3 * pinned[:, None] + a3[None, :]).ravel()
+        lift = np.zeros(3 * n_pts)
+        lift[dof] = 1.0
+        a = a + sps.diags(lift)
     if rcm:
         # block-RCM: permute NODES (via the node adjacency), keep the
         # 3 dofs of each node contiguous
