@@ -58,6 +58,10 @@ def parse_args():
                    help="filtered-SA P smoothing threshold theta "
                         "(drops |a_ij| < theta*sqrt(a_ii*a_jj) during "
                         "prolongation smoothing; good for high contrast)")
+    p.add_argument("--sa-trunc", type=float, default=None,
+                   help="P truncation tolerance (drop |p_ij| < "
+                        "tol*rowmax after smoothing, rescale survivors; "
+                        "the 3-D fill control)")
     p.add_argument("--aggregation-iters", type=int, default=200,
                    help="partitioner improvement iterations")
     p.add_argument("--max-iters", type=int, default=1000)
@@ -244,6 +248,7 @@ def main():
         aggregation=AggregationConfig(
             candidate_dimension=args.interp_near_null_dim,
             filter_theta=args.sa_filter,
+            trunc_tol=args.sa_trunc,
             partitioner_config=PartitionerConfig(
                 coarsening_factor=args.coarsening_factor,
                 max_improvement_iters=args.aggregation_iters,

@@ -134,3 +134,58 @@ class TestGalerkin:
         assert g.interpolation.shape == (64, 2 * n_aggs)
         assert g.coarse_nn.shape[0] == 2 * n_aggs
         assert g.coarse_mat.block_size == 2
+
+
+class TestTruncation:
+    def test_truncate_drops_and_preserves_l1(self):
+        from tpu_amg.interpolation.sa import truncate_prolongator
+        from tpu_amg.sparse import CSR
+
+        rng = np.random.default_rng(1)
+        dense = rng.normal(size=(20, 8)) * (rng.random((20, 8)) < 0.6)
+        dense[3] = 0.0  # empty row survives
+        p = CSR.from_dense(dense, tol=0.0).eliminate_zeros()
+        t = truncate_prolongator(p, 0.3)
+        td = t.to_dense()
+        pd = p.to_dense()
+        # every kept entry is >= 0.3*rowmax in the original
+        rowmax = np.abs(pd).max(axis=1)
+        kept = np.abs(td) > 0
+        orig_small = np.abs(pd) < 0.3 * rowmax[:, None]
+        assert not (kept & orig_small).any()
+        # row L1 mass preserved
+        np.testing.assert_allclose(
+            np.abs(td).sum(1), np.abs(pd).sum(1), rtol=1e-12
+        )
+
+    def test_truncated_hierarchy_converges_and_sparser(self):
+        """Truncation must cut Galerkin fill without breaking SA
+        convergence (3-D is where the fill explodes)."""
+        import jax.numpy as jnp
+
+        from tpu_amg.solver import AMGSolver, SolverConfig
+        from tpu_amg.solvers import cg
+        from tpu_amg.utils.problems import poisson3d
+
+        a = poisson3d(12)
+        common = dict(
+            coarsening_near_null_dim=4, interp_near_null_dim=2,
+            coarsening_factor=16.0, smoothing_iters=5, coarsest_dim=100,
+            dtype=jnp.float64, host_below=0, seed=0,
+        )
+        plain = AMGSolver.setup(a, SolverConfig(**common))
+        trunc = AMGSolver.setup(
+            a, SolverConfig(sa_trunc_tol=0.1, **common)
+        )
+        assert trunc.hierarchy.op_complexity() <= (
+            plain.hierarchy.op_complexity()
+        )
+        x_true = np.random.default_rng(0).normal(size=a.nrows)
+        b = trunc.op.mv(jnp.asarray(x_true))
+        x, info = cg(trunc.op, b, trunc.preconditioner, rtol=1e-8,
+                     maxiter=60)
+        assert bool(info.converged)
+        relerr = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(
+            x_true
+        )
+        assert relerr < 1e-6

@@ -56,6 +56,7 @@ class AggregationConfig:
     smoothing_steps: int = 1
     candidate_dimension: int = 4
     filter_theta: Optional[float] = None  # filtered-SA P smoothing
+    trunc_tol: Optional[float] = None  # P truncation (truncate_prolongator)
     partitioner_config: PartitionerConfig = dataclasses.field(
         default_factory=PartitionerConfig
     )
@@ -92,6 +93,7 @@ class AggregationConfig:
             self.candidate_dimension,
             self.smoothing_steps,
             filter_theta=self.filter_theta,
+            trunc_tol=self.trunc_tol,
         )
 
 
@@ -102,6 +104,7 @@ def smoothed_aggregation(
     candidate_dimension: int,
     smoothing_steps: int,
     filter_theta: float = None,
+    trunc_tol: float = None,
 ) -> GalerkinCoarse:
     """Build tentative + smoothed P from a block-node partition."""
     n = a.nrows
@@ -158,6 +161,8 @@ def smoothed_aggregation(
             )
         else:
             p = block_jacobi_smooth(a, p)
+    if trunc_tol is not None and smoothing_steps > 0:
+        p = truncate_prolongator(p, trunc_tol)
 
     r = p.transpose()
     ap = spgemm(a, p)
@@ -169,6 +174,38 @@ def smoothed_aggregation(
         coarse_nn=coarse_nn,
         partition=partition,
         kind="aggregation",
+    )
+
+
+def truncate_prolongator(p: CSR, tol: float) -> CSR:
+    """Row-wise truncation of the smoothed prolongator: drop entries
+    with |pᵢⱼ| < tol·maxⱼ|pᵢⱼ| and rescale the survivors so each row's
+    L1 mass is preserved.
+
+    Not in the reference (whose 2-D problems keep RAP fill modest); on
+    3-D meshes (~16 nnz/row) one smoothing step widens every aggregate's
+    Galerkin stencil to its full 2-hop aggregate neighborhood — measured
+    op complexity 3.56 at 1M dofs, with 150+ coarse nnz/row — and
+    truncation is the standard SA fill control (ML/PyAMG practice).
+    """
+    n = p.nrows
+    absd = np.abs(p.data)
+    deg = np.diff(p.indptr)
+    nz = deg > 0
+    starts = p.indptr[:-1]
+    rowmax = np.zeros(n)
+    rowmax[nz] = np.maximum.reduceat(absd, starts[nz])
+    rows = np.repeat(np.arange(n), deg)
+    keep = absd >= tol * rowmax[rows]
+    l1_full = np.zeros(n)
+    l1_full[nz] = np.add.reduceat(absd, starts[nz])
+    kept_abs = np.where(keep, absd, 0.0)
+    l1_kept = np.zeros(n)
+    l1_kept[nz] = np.add.reduceat(kept_abs, starts[nz])
+    scale = np.where(l1_kept > 0, l1_full / np.maximum(l1_kept, 1e-300), 1.0)
+    data = (p.data * scale[rows])[keep]
+    return from_coo(
+        rows[keep], p.indices[keep], data, p.shape, p.block_size
     )
 
 

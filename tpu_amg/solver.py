@@ -48,6 +48,11 @@ class SolverConfig:
     # with the strength-filtered A — sharper P, sparser Galerkin coarse
     # operators (lower op complexity), better high-contrast behavior
     sa_filter_theta: Optional[float] = None
+    # P truncation (interpolation/sa.py truncate_prolongator): drop
+    # |p_ij| < tol * rowmax after smoothing, rescale survivors.  The
+    # fill control for 3-D meshes, where smoothed-P Galerkin stencils
+    # otherwise reach the full 2-hop aggregate neighborhood.
+    sa_trunc_tol: Optional[float] = None
     smoothing_iters: int = 20
     coarsening_factor: float = 8.0
     aggregation_iters: int = 100
@@ -182,6 +187,7 @@ class AMGSolver:
             aggregation=AggregationConfig(
                 candidate_dimension=config.interp_near_null_dim,
                 filter_theta=config.sa_filter_theta,
+                trunc_tol=config.sa_trunc_tol,
                 partitioner_config=PartitionerConfig(
                     coarsening_factor=config.coarsening_factor,
                     max_improvement_iters=config.aggregation_iters,
