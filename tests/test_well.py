@@ -165,15 +165,22 @@ class TestWellModes:
         bs = contrib.reshape(nv, 8, bpv, block).sum(axis=3)
         rts = np.asarray(well.rts).reshape(nv, 8, bpv).astype(np.int64)
         cm = bs.copy()
-        for k in range(well.merge_rounds):
-            sft = 1 << k
-            shifted = np.concatenate(
-                [cm[:, :, sft:], cm[:, :, -1:].repeat(sft, axis=2)],
-                axis=2)
-            mask = (rts >> (5 + k)) & 1
-            cm = cm + np.where(mask != 0, shifted, 0.0)
-        route = rts & 31
-        y = np.take_along_axis(cm, route, axis=2)
+        if well.idroute:
+            # identity-route: fold the flagged overflow block into the
+            # row's own lane; no route gather
+            if well.merge_rounds:
+                ov = np.take_along_axis(cm, rts & 31, axis=2)
+                cm = cm + np.where((rts >> 5) & 1, ov, 0.0)
+            y = cm
+        else:
+            for k in range(well.merge_rounds):
+                sft = 1 << k
+                shifted = np.concatenate(
+                    [cm[:, :, sft:], cm[:, :, -1:].repeat(sft, axis=2)],
+                    axis=2)
+                mask = (rts >> (5 + k)) & 1
+                cm = cm + np.where(mask != 0, shifted, 0.0)
+            y = np.take_along_axis(cm, rts & 31, axis=2)
         y = y.reshape(-1, bpv)[:, :g].reshape(-1)[: sp.shape[0]]
         ex = np.asarray(well.extra_rows)
         if len(ex):

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--elasticity", action="store_true",
                     help="block-3 truss elasticity on the tet mesh "
                          "instead of scalar Poisson")
+    ap.add_argument("--trunc", type=float, default=None,
+                    help="P truncation tol (default 0.1 scalar / "
+                         "0.05 elasticity; 0 disables)")
     args = ap.parse_args()
 
     import os
@@ -42,6 +45,10 @@ def main():
     print(f"# system n={a.nrows} nnz={a.nnz} block={a.block_size} "
           f"built {t_sys:.0f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
+    trunc = args.trunc if args.trunc is not None else (
+        0.05 if args.elasticity else 0.1
+    )
+    trunc = trunc or None
     if args.elasticity:
         cfg = SolverConfig(
             coarsening_near_null_dim=12,
@@ -53,6 +60,7 @@ def main():
             dtype=jnp.float32,
             dense_threshold=8192,
             setup_on_host=True,
+            sa_trunc_tol=trunc,
         )
     else:
         cfg = SolverConfig(
@@ -67,6 +75,7 @@ def main():
             dtype=jnp.float32,
             dense_threshold=8192,
             setup_on_host=True,
+            sa_trunc_tol=trunc,
         )
     solver = AMGSolver.setup(a, cfg)
     t_setup = time.perf_counter() - t0

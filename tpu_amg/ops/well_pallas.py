@@ -96,6 +96,7 @@ def _kernel(
     vregs: int,
     bpv: int,
     x_mode: str,
+    idroute: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -151,13 +152,22 @@ def _kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
     rts = rts_ref[0]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (mrows, bpv), 1)
-    for k in range(merge_rounds):
-        idx = jnp.minimum(iota_b + (1 << k), bpv - 1)
-        shifted = _taa_lane(cm, idx)
-        mask = (rts >> (5 + k)) & 1
-        cm = cm + jnp.where(mask != 0, shifted, jnp.zeros_like(cm))
-    y_ref[0] = _taa_lane(cm, rts & 31)
+    if idroute:
+        # identity-route: primary block sits AT the row's lane; fold in
+        # the (single) overflow block where flagged, no route gather
+        if merge_rounds:
+            ov = _taa_lane(cm, rts & 31)
+            flag = (rts >> 5) & 1
+            cm = cm + jnp.where(flag != 0, ov, jnp.zeros_like(cm))
+        y_ref[0] = cm
+    else:
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (mrows, bpv), 1)
+        for k in range(merge_rounds):
+            idx = jnp.minimum(iota_b + (1 << k), bpv - 1)
+            shifted = _taa_lane(cm, idx)
+            mask = (rts >> (5 + k)) & 1
+            cm = cm + jnp.where(mask != 0, shifted, jnp.zeros_like(cm))
+        y_ref[0] = _taa_lane(cm, rts & 31)
 
 
 @functools.partial(
@@ -170,6 +180,7 @@ def _kernel(
         "bpv",
         "win_rows",
         "x_mode",
+        "idroute",
         "interpret",
     ),
 )
@@ -188,6 +199,7 @@ def _well_spmv_call(
     bpv: int,
     win_rows: int,
     x_mode: str = "resident",
+    idroute: bool = False,
     interpret: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
@@ -241,6 +253,7 @@ def _well_spmv_call(
         vregs=vregs,
         bpv=bpv,
         x_mode=x_mode,
+        idroute=idroute,
     )
     nnz_slots = data.size
     # The package enables jax x64 globally (f64 host numerics); Mosaic
@@ -294,6 +307,7 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             bpv=well.blocks_per_vrow,
             win_rows=well.win_rows,
             x_mode=str(x_mode),
+            idroute=well.idroute,
             interpret=interp,
         )
 

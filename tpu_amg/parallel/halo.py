@@ -347,6 +347,9 @@ class HaloWELL:
     n_groups: int = dataclasses.field(metadata=dict(static=True))
     n_passes: int = dataclasses.field(metadata=dict(static=True))
     merge_rounds: int = dataclasses.field(metadata=dict(static=True))
+    idroute: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
@@ -393,6 +396,7 @@ class HaloWELL:
             n_groups=self.n_groups,
             n_passes=self.n_passes,
             merge_rounds=self.merge_rounds,
+            idroute=self.idroute,
             block_size=self.block_size,
         )
 
@@ -438,6 +442,11 @@ class HaloWELL:
 
         # per-shard local CSR blocks in buffer coordinates
         shard_of = rows // n_loc
+        # identity-route must be decided GLOBALLY (the rts encodings of
+        # the two layouts differ) — use the full-matrix criterion
+        nnz_row_g = np.diff(indptr)
+        over2 = np.maximum(nnz_row_g - 2 * block, 0).sum()
+        idroute = bool(over2 <= 0.25 * 0.02 * csr.nnz)
         builds = []
         g_common = None
         for d in range(n_dev):
@@ -450,7 +459,7 @@ class HaloWELL:
             )
             wl = WELL.from_csr(
                 local, dtype=dtype, vregs_per_tile=32, block=block,
-                rows_per_vrow=g_common,
+                rows_per_vrow=g_common, idroute=idroute,
             )
             if g_common is None:
                 g_common = wl.rows_per_vrow
@@ -519,6 +528,7 @@ class HaloWELL:
             n_groups=max(b.n_groups for b in builds),
             n_passes=max(b.n_passes for b in builds),
             merge_rounds=max(b.merge_rounds for b in builds),
+            idroute=idroute,
             block_size=csr.block_size,
         )
         # shard the stacked arrays over the mesh axis

@@ -141,6 +141,11 @@ class WELL:
     n_groups: int = dataclasses.field(metadata=dict(static=True))
     n_passes: int = dataclasses.field(metadata=dict(static=True))
     merge_rounds: int = dataclasses.field(metadata=dict(static=True))
+    # identity-route layout: primary block at the row's own lane, one
+    # overflow block merged in a single round, no route gather
+    idroute: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     block_size: int = dataclasses.field(
         default=1, metadata=dict(static=True)
     )
@@ -204,6 +209,7 @@ class WELL:
         max_span_rows: int = 1024,
         max_spill_frac: float = 0.02,
         rows_per_vrow: int | None = None,
+        idroute: bool | None = None,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
@@ -221,7 +227,7 @@ class WELL:
                         csr, dtype=dtype, vregs_per_tile=vpt, block=block,
                         max_passes=max_passes, max_span_rows=max_span_rows,
                         max_spill_frac=max_spill_frac,
-                        rows_per_vrow=rows_per_vrow,
+                        rows_per_vrow=rows_per_vrow, idroute=idroute,
                     )
                 except WellUnsupported as e:
                     err = e
@@ -240,6 +246,18 @@ class WELL:
         rows_of = np.repeat(np.arange(n, dtype=np.int64), nnz_row)
         nb_full = np.maximum((nnz_row + block - 1) // block, 1)
 
+        # ---- identity-route mode: when capping every row at 2 blocks
+        # (primary + one overflow) spills almost nothing, lay rows out
+        # with the primary block AT the row's own lane — the reduce then
+        # needs no route gather and exactly one merge round (~4 VPU ops
+        # per block-elem instead of ~13; the round-4 reduce attribution
+        # showed the dynamic-lane merge/route chain dominating the
+        # block=4 kernel) -----------------------------------------------
+        if idroute is None:
+            over2 = np.maximum(nnz_row - 2 * block, 0).sum()
+            idroute = bool(over2 <= 0.25 * max_spill_frac * nnz)
+        idroute = bool(idroute)
+
         # ---- choose rows_per_vrow: largest g whose per-group block
         # demand fits the bpv budget with tiny spill ------------------
         if rows_per_vrow is not None:
@@ -249,12 +267,21 @@ class WELL:
             for cand in range(bpv, 0, -1):
                 n_groups = -(-n // cand)
                 pad_rows = n_groups * cand - n
-                demand = np.concatenate([
-                    np.minimum(nb_full, bpv),
-                    np.zeros(pad_rows, np.int64),
-                ])
+                if idroute:
+                    # overflow blocks must fit the bpv - g tail lanes
+                    demand = np.concatenate([
+                        (nnz_row > block).astype(np.int64),
+                        np.zeros(pad_rows, np.int64),
+                    ])
+                    budget = bpv - cand
+                else:
+                    demand = np.concatenate([
+                        np.minimum(nb_full, bpv),
+                        np.zeros(pad_rows, np.int64),
+                    ])
+                    budget = bpv
                 gsum = demand.reshape(n_groups, cand).sum(axis=1)
-                over = np.maximum(gsum - bpv, 0).sum()
+                over = np.maximum(gsum - budget, 0).sum()
                 if over * block <= max(max_spill_frac * nnz / 4, 0.0):
                     g = cand
                     break
@@ -267,32 +294,63 @@ class WELL:
         # ---- per-row block allowance within each group budget -------
         group_of = rows_of // g  # group id per entry (== global vreg-row)
         n_groups_rows = -(-n // g)
-        # over-budget rows spill; 16-block cap bounds merge_rounds at 4
-        nb = np.minimum(nb_full, min(bpv, 16))
-        gsum = np.zeros(n_groups_rows, dtype=np.int64)
-        np.add.at(gsum, np.arange(n) // g, nb)
-        for gi in np.flatnonzero(gsum > bpv):
-            rows = np.arange(gi * g, min((gi + 1) * g, n))
-            while nb[rows].sum() > bpv:
-                r = rows[np.argmax(nb[rows])]
-                nb[r] -= 1
-        nb_pad = np.zeros(n_groups_rows * g, dtype=np.int64)
-        nb_pad[:n] = nb
-        b0_pad = nb_pad.reshape(n_groups_rows, g).cumsum(
-            axis=1
-        ) - nb_pad.reshape(n_groups_rows, g)
-        b0 = b0_pad.reshape(-1)[:n]
-        merge_rounds = (
-            int(np.ceil(np.log2(max(nb.max(), 1)))) if nb.max() > 1 else 0
-        )
-        assert merge_rounds <= 4
+        grp_ids = np.arange(n) // g
+        j_in_grp = np.arange(n) % g
+        if idroute:
+            if g > bpv:
+                raise WellUnsupported(
+                    f"rows_per_vrow {g} > {bpv} blocks in identity-route "
+                    "layout"
+                )
+            # primary block at lane j; ONE overflow block in the tail
+            # lanes [g, bpv), granted first-come within each group
+            nb = np.minimum(nb_full, 2)
+            is_ov = nb == 2
+            cnt = np.zeros(n_groups_rows, dtype=np.int64)
+            np.add.at(cnt, grp_ids, is_ov.astype(np.int64))
+            start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            rank = np.cumsum(is_ov) - 1 - start[grp_ids]
+            denied = is_ov & (rank >= bpv - g)
+            nb[denied] = 1
+            ov_lane = np.where(nb == 2, g + rank, j_in_grp)
+            b0 = j_in_grp
+            merge_rounds = 1 if (nb == 2).any() else 0
+        else:
+            # over-budget rows spill; 16-block cap bounds merge_rounds
+            # at 4
+            nb = np.minimum(nb_full, min(bpv, 16))
+            gsum = np.zeros(n_groups_rows, dtype=np.int64)
+            np.add.at(gsum, grp_ids, nb)
+            for gi in np.flatnonzero(gsum > bpv):
+                rows = np.arange(gi * g, min((gi + 1) * g, n))
+                while nb[rows].sum() > bpv:
+                    r = rows[np.argmax(nb[rows])]
+                    nb[r] -= 1
+            nb_pad = np.zeros(n_groups_rows * g, dtype=np.int64)
+            nb_pad[:n] = nb
+            b0_pad = nb_pad.reshape(n_groups_rows, g).cumsum(
+                axis=1
+            ) - nb_pad.reshape(n_groups_rows, g)
+            b0 = b0_pad.reshape(-1)[:n]
+            merge_rounds = (
+                int(np.ceil(np.log2(max(nb.max(), 1))))
+                if nb.max() > 1
+                else 0
+            )
+            assert merge_rounds <= 4
 
         # ---- entry slots ---------------------------------------------
         k_in_row = np.arange(nnz) - np.repeat(indptr[:-1], nnz_row)
         keep = k_in_row < nb[rows_of] * block
-        lane = (
-            b0[rows_of] + k_in_row // block
-        ) * block + k_in_row % block
+        if idroute:
+            blk = np.where(
+                k_in_row < block, b0[rows_of], ov_lane[rows_of]
+            )
+            lane = blk * block + k_in_row % block
+        else:
+            lane = (
+                b0[rows_of] + k_in_row // block
+            ) * block + k_in_row % block
         vm = group_of  # global vreg-row id
         v_e = rows_of // v_rows  # vreg id per entry
 
@@ -426,10 +484,17 @@ class WELL:
         w |= amap.reshape(nv_pad * TABLE_ROWS, LANES) << 21
         assert w.max(initial=0) < (1 << 31)
 
-        # ---- rts narrow sidecar: route | merge flags ------------------
+        # ---- rts narrow sidecar ---------------------------------------
         rts = np.zeros((nv_pad * TABLE_ROWS, bpv), dtype=np.int64)
-        rts[np.arange(n) // g, np.arange(n) % g] |= b0
-        if merge_rounds:
+        if idroute:
+            # lane j: overflow block lane (bits 0-4) | has-overflow
+            # flag (bit 5); no route — the primary block IS lane j
+            rts[grp_ids, j_in_grp] |= ov_lane | (
+                (nb == 2).astype(np.int64) << 5
+            )
+        else:
+            rts[grp_ids, j_in_grp] |= b0
+        if not idroute and merge_rounds:
             rr = np.repeat(np.arange(n), nb)
             cum = np.concatenate([[0], np.cumsum(nb)[:-1]])
             bi = b0[rr] + np.arange(nb.sum()) - np.repeat(cum, nb)
@@ -493,5 +558,6 @@ class WELL:
             n_groups=int(NG),
             n_passes=int(max(n_passes, 1)),
             merge_rounds=int(merge_rounds),
+            idroute=idroute,
             block_size=int(getattr(csr, "block_size", 1)),
         )
