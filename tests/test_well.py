@@ -116,7 +116,10 @@ class TestWellModes:
         sp.sort_indices()
         w8 = WELL.from_csr(CSR.from_scipy(sp), block=8)
         w4 = WELL.from_csr(CSR.from_scipy(sp), block=4)
-        assert w4.data.size < w8.data.size
+        # block=4 never packs worse; at this small n tile padding can
+        # equalize the two (the 1M hybrid remainder measures ~30%
+        # fewer slots, MEASURED.md)
+        assert w4.data.size <= w8.data.size
         x = np.random.default_rng(0).standard_normal(20000).astype(
             np.float32)
         ref = sp @ x
@@ -148,9 +151,25 @@ class TestWellModes:
         # the kernel's gather chain for slot (m, l) is
         #   table[rho[pass, m, lam[m,l]], lam[m,l]]
         # i.e. rho is consulted at the TABLE lane, not the slot lane
-        trow = rho[v_idx, pid, s_idx, lam]
+        trow = rho[v_idx, np.minimum(pid, well.n_passes - 1), s_idx, lam]
         wrow = amap[v_idx, trow, lam]
         col = (qv[:, None, None] + wrow) * 128 + lam
+        if well.n_ex_groups:
+            # pass id 3 = in-kernel extras: sigma (word bits 18-20 at
+            # the table position) indexes the per-TILE extras table
+            f = well.vregs_per_tile
+            tile_of = np.arange(nv) // f
+            extw = np.asarray(well.ex_tw).astype(np.int64)
+            exq = np.asarray(well.ex_q).astype(np.int64)
+            sig = (w >> 18) & 7
+            sig_at = sig[v_idx, s_idx, lam]
+            t3 = tile_of[:, None, None] + 0 * lam
+            eta_x = extw[t3, sig_at, lam] & 7
+            grp_x = (extw[t3, sig_at, lam] >> 3) & 31
+            col_ex = (
+                exq[tile_of][:, None, None] + grp_x * 8 + eta_x
+            ) * 128 + lam
+            col = np.where(pid == 3, col_ex, col)
         # gather x through the reconstructed columns and compare the
         # slot-wise products against a dense SpMV
         rng = np.random.default_rng(0)
@@ -160,17 +179,48 @@ class TestWellModes:
         contrib = data * xp[col]
         # per-row sums via the rts route/merge metadata equal A @ x
         g = well.rows_per_vrow
-        bpv = well.blocks_per_vrow
+        bpv = well.out_cols
         block = well.block
-        bs = contrib.reshape(nv, 8, bpv, block).sum(axis=3)
+        # heterogeneous reduce columns: piecewise col-of-lane (same
+        # formula as the kernel selector)
+        from tpu_amg.sparse.well import _unit_split_capped
+
+        ll = np.arange(128)
+        if well.idroute:
+            sel_g = g
+            p4, p2, _ = _unit_split_capped(128 - block * g, block, g)
+        else:
+            sel_g, p4, p2 = bpv, 0, 0
+        half = max(block // 2, 1)
+        quart = max(block // 4, 1)
+        full_end = (sel_g + p4) * block
+        half_end = full_end + p2 * half
+        colmap = np.where(
+            ll < sel_g * block,
+            ll // block,
+            np.where(
+                ll < full_end,
+                sel_g + (ll - sel_g * block) // block,
+                np.where(
+                    ll < half_end,
+                    sel_g + p4 + (ll - full_end) // half,
+                    sel_g + p4 + p2 + (ll - half_end) // quart,
+                ),
+            ),
+        )
+        bs = np.zeros((nv, 8, bpv))
+        np.add.at(
+            bs.transpose(2, 0, 1), colmap, contrib.transpose(2, 0, 1)
+        )
         rts = np.asarray(well.rts).reshape(nv, 8, bpv).astype(np.int64)
         cm = bs.copy()
         if well.idroute:
-            # identity-route: fold the flagged overflow block into the
-            # row's own lane; no route gather
-            if well.merge_rounds:
-                ov = np.take_along_axis(cm, rts & 31, axis=2)
-                cm = cm + np.where((rts >> 5) & 1, ov, 0.0)
+            # identity-route: fold the flagged overflow blocks (6 rts
+            # bits per round) into the row's own lane; no route gather
+            for k in range(well.merge_rounds):
+                fld = rts >> (7 * k)
+                ov = np.take_along_axis(cm, fld & 63, axis=2)
+                cm = cm + np.where((fld >> 6) & 1, ov, 0.0)
             y = cm
         else:
             for k in range(well.merge_rounds):
@@ -182,10 +232,12 @@ class TestWellModes:
                 cm = cm + np.where(mask != 0, shifted, 0.0)
             y = np.take_along_axis(cm, rts & 31, axis=2)
         y = y.reshape(-1, bpv)[:, :g].reshape(-1)[: sp.shape[0]]
-        ex = np.asarray(well.extra_rows)
-        if len(ex):
+        if np.asarray(well.extra_cols).size:
             np.add.at(
-                y, ex,
+                y,
+                np.asarray(well.extra_rows)[
+                    np.asarray(well.extra_seg)
+                ],
                 np.asarray(well.extra_vals)
                 * x[np.asarray(well.extra_cols)],
             )

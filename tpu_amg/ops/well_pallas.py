@@ -57,6 +57,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 LANES = 128
@@ -77,19 +78,10 @@ def _kernel(
     # scalar prefetch
     q_ref,
     qv_ref,
-    # blocked inputs (leading tile axis of size 1)
-    data_ref,
-    w_ref,
-    rts_ref,
-    # x: whole VMEM-resident x2d (resident) or blocked per-tile windows
-    x_ref,
-    # output
-    y_ref,
-    # scratch
-    cbuf,
-    table_s,
-    gath_s,
-    *,
+    exq_ref,
+    # blocked inputs (leading tile axis of size 1); ex_* present only
+    # when n_ex_groups > 0
+    *refs,
     n_groups: int,
     n_passes: int,
     merge_rounds: int,
@@ -97,12 +89,42 @@ def _kernel(
     bpv: int,
     x_mode: str,
     idroute: bool = False,
+    n_ex_groups: int = 0,
+    blk: int = 8,
+    sel_g: int = 0,
+    sel_p4: int = 0,
+    sel_p2: int = 0,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
+    if n_ex_groups:
+        (data_ref, w_ref, rts_ref, ex_tw_ref, x_ref, y_ref, cbuf,
+         table_s, gath_s, ext_s) = refs
+    else:
+        (data_ref, w_ref, rts_ref, x_ref, y_ref, cbuf, table_s,
+         gath_s) = refs
     t = pl.program_id(0)
     cdt = x_ref.dtype  # compute dtype (data may be a bf16 stream)
     mrows = vregs * TABLE_ROWS
+    if n_ex_groups:
+        # ---- per-tile extras table (see sparse/well.py extras
+        # section): stage-A-style masked sublane gathers from the
+        # tile's extras window.  Spilled entries kept their slot with
+        # pass id 3 and read this table through the normal stage-B
+        # two-step gather (sigma in word bits 18-20 at table positions)
+        extw = ex_tw_ref[0]
+        eta_x = extw & 7
+        grp_x = (extw >> 3) & 31
+        eq = pl.multiple_of(exq_ref[t], 8)
+        ext_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
+        for gi in range(n_ex_groups):
+            if x_mode == "resident":
+                winx = x_ref[pl.ds(eq + gi * 8, 8), :]
+            else:
+                winx = x_ref[0, pl.ds(eq - q_ref[t] + gi * 8, 8), :]
+            part = _taa_sub(winx, eta_x)
+            pltpu.store(ext_s, part, mask=grp_x == gi)
+        ex_table = ext_s[:]
     for f in range(vregs):
         r0 = f * TABLE_ROWS
         w = w_ref[0, r0 : r0 + 8, :]
@@ -136,16 +158,39 @@ def _kernel(
             rowsel = _taa_sub(table, (w >> (9 + 3 * p)) & 7)
             val = _taa_lane(rowsel, lam)
             pltpu.store(gath_s, val, mask=pid == p)
+        if n_ex_groups:
+            rowsel = _taa_sub(ex_table, (w >> 18) & 7)
+            val = _taa_lane(rowsel, lam)
+            pltpu.store(gath_s, val, mask=pid == 3)
 
         cbuf[r0 : r0 + 8, :] = (
             data_ref[0, r0 : r0 + 8, :].astype(cdt) * gath_s[:]
         )
 
     # ---- tile-batched reduce ------------------------------------------
+    # static piecewise column-of-lane: sel_g primary blocks of ``blk``
+    # lanes, then full / half / quarter tail units (legacy layouts
+    # pass sel_g = bpv so the first branch covers every lane)
+    half = max(blk // 2, 1)
+    quart = max(blk // 4, 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 0)
+    full_end = (sel_g + sel_p4) * blk
+    half_end = full_end + sel_p2 * half
+    col = jnp.where(
+        li < sel_g * blk,
+        li // blk,
+        jnp.where(
+            li < full_end,
+            sel_g + (li - sel_g * blk) // blk,
+            jnp.where(
+                li < half_end,
+                sel_g + sel_p4 + (li - full_end) // half,
+                sel_g + sel_p4 + sel_p2 + (li - half_end) // quart,
+            ),
+        ),
+    )
     mblk = (
-        jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 0)
-        // (LANES // bpv)
-        == jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 1)
+        col == jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 1)
     ).astype(cdt)
     cm = jnp.dot(
         cbuf[:], mblk, preferred_element_type=cdt,
@@ -154,11 +199,15 @@ def _kernel(
     rts = rts_ref[0]
     if idroute:
         # identity-route: primary block sits AT the row's lane; fold in
-        # the (single) overflow block where flagged, no route gather
-        if merge_rounds:
-            ov = _taa_lane(cm, rts & 31)
-            flag = (rts >> 5) & 1
-            cm = cm + jnp.where(flag != 0, ov, jnp.zeros_like(cm))
+        # the flagged overflow blocks (6 rts bits per round), no route
+        # gather.  Overflow lanes are never merge targets, so rounds
+        # read from untouched tail lanes regardless of order.
+        for k in range(merge_rounds):
+            fld = rts >> (7 * k)
+            ov = _taa_lane(cm, fld & 63)
+            cm = cm + jnp.where(
+                (fld >> 6) & 1 != 0, ov, jnp.zeros_like(cm)
+            )
         y_ref[0] = cm
     else:
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (mrows, bpv), 1)
@@ -181,15 +230,22 @@ def _kernel(
         "win_rows",
         "x_mode",
         "idroute",
+        "n_ex_groups",
+        "blk",
+        "sel_g",
+        "sel_p4",
+        "sel_p2",
         "interpret",
     ),
 )
 def _well_spmv_call(
     q,
     qv,
+    exq,
     data,
     w,
     rts,
+    ex_tw,
     x2d,
     *,
     n_groups: int,
@@ -200,6 +256,11 @@ def _well_spmv_call(
     win_rows: int,
     x_mode: str = "resident",
     idroute: bool = False,
+    n_ex_groups: int = 0,
+    blk: int = 8,
+    sel_g: int = 0,
+    sel_p4: int = 0,
+    sel_p2: int = 0,
     interpret: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
@@ -210,7 +271,7 @@ def _well_spmv_call(
     def block(shape):
         return pl.BlockSpec(
             (1,) + shape,
-            lambda t, q_ref, qv_ref: (t,) + (0,) * len(shape),
+            lambda t, q_ref, qv_ref, exq_ref: (t,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
@@ -229,21 +290,30 @@ def _well_spmv_call(
             )
         x_spec = block((win_rows, LANES))
 
+    ex_specs = (
+        [block((TABLE_ROWS, LANES))] if n_ex_groups else []  # ex_tw
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             block((mrows, LANES)),  # data
             block((mrows, LANES)),  # w
             block((mrows, bpv)),  # rts
-            x_spec,
-        ],
+        ]
+        + ex_specs
+        + [x_spec],
         out_specs=block((mrows, bpv)),
         scratch_shapes=[
             pltpu.VMEM((mrows, LANES), cdt),  # cbuf
             pltpu.VMEM((TABLE_ROWS, LANES), cdt),  # table_s
             pltpu.VMEM((TABLE_ROWS, LANES), cdt),  # gath_s
-        ],
+        ]
+        + (
+            [pltpu.VMEM((TABLE_ROWS, LANES), cdt)]  # ext_s
+            if n_ex_groups
+            else []
+        ),
     )
     kernel = functools.partial(
         _kernel,
@@ -254,6 +324,11 @@ def _well_spmv_call(
         bpv=bpv,
         x_mode=x_mode,
         idroute=idroute,
+        n_ex_groups=n_ex_groups,
+        blk=blk,
+        sel_g=sel_g,
+        sel_p4=sel_p4,
+        sel_p2=sel_p2,
     )
     nnz_slots = data.size
     # The package enables jax x64 globally (f64 host numerics); Mosaic
@@ -275,8 +350,63 @@ def _well_spmv_call(
                 ),
                 transcendentals=0,
             ),
-        )(q, qv, data, w, rts, x_arg)
+        )(
+            q, qv, exq, data, w, rts,
+            *((ex_tw,) if n_ex_groups else ()),
+            x_arg,
+        )
     return out
+
+
+
+def _stray_kernel(exm_ref, exj_ref, excr_ref, excl_ref, vals_ref,
+                  out_in_ref, x_ref, out_ref, *, n_stray: int):
+    """Patch ``n_stray`` spilled entries into the reduce output IN
+    PLACE (out aliased): per entry, read the x row, lane-select x[col],
+    FMA into the row's primary column.  ~10 VPU ops per stray — the
+    XLA gather/scatter pair costs a fixed ~170 us regardless of count,
+    so even a handful of strays must stay on-chip."""
+    out_ref[...] = out_in_ref[...]
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    ncols = out_ref.shape[1]
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1)
+    for i in range(n_stray):
+        cr = excr_ref[i]
+        xrow = x_ref[pl.ds(cr, 1), :]
+        xv = jnp.sum(
+            jnp.where(excl_ref[i] == lane_i, xrow,
+                      jnp.zeros((), xrow.dtype))
+        )
+        m = exm_ref[i]
+        yrow = out_ref[pl.ds(m, 1), :]
+        out_ref[pl.ds(m, 1), :] = yrow + jnp.where(
+            exj_ref[i] == col_i,
+            vals_ref[0, i] * xv,
+            jnp.zeros((), yrow.dtype),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_stray", "interpret"))
+def _stray_patch_call(exm, exj, excr, excl, vals, out2d, x2d, *,
+                      n_stray: int, interpret: bool = False):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_stray_kernel, n_stray=n_stray),
+            out_shape=jax.ShapeDtypeStruct(out2d.shape, out2d.dtype),
+            interpret=interpret,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # vals
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # out (in)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+        )(exm, exj, excr, excl, vals, out2d, x2d)
 
 
 def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
@@ -297,21 +427,79 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
         x_bytes = n2d * LANES * jnp.dtype(cdt).itemsize
         x_mode = "resident" if x_bytes <= cap_mb * 1e6 else "blocked"
 
+    if well.idroute and well.bcols:
+        from tpu_amg.sparse.well import _unit_split_capped
+
+        sel_g = well.rows_per_vrow
+        sel_p4, sel_p2, _ = _unit_split_capped(
+            LANES - well.block * sel_g, well.block, sel_g
+        )
+    else:
+        sel_g, sel_p4, sel_p2 = well.blocks_per_vrow, 0, 0
+
+    # stray spills ride a tiny patch kernel over the reduce output
+    # (idroute only: strays there are a few hundred grant/sigma
+    # leftovers; the XLA gather/scatter fallback costs a fixed ~170 us)
+    stray = None
+    if (
+        well.idroute
+        and 0 < int(well.extra_cols.shape[0]) <= 4096
+        and not isinstance(well.extra_rows, jax.core.Tracer)
+    ):
+        er = np.asarray(well.extra_rows)[np.asarray(well.extra_seg)]
+        ec = np.asarray(well.extra_cols)
+        ev = np.asarray(well.extra_vals)
+        gg = well.rows_per_vrow
+        kpad = -(-len(ec) // LANES) * LANES
+        stray = (
+            jnp.asarray(er // gg, jnp.int32),
+            jnp.asarray(er % gg, jnp.int32),
+            jnp.asarray((ec // LANES).astype(np.int32)),
+            jnp.asarray((ec % LANES).astype(np.int32)),
+            jnp.asarray(
+                np.pad(ev.astype(np.float64), (0, kpad - len(ec)))
+            ).astype(cdt).reshape(1, kpad),
+            len(ec),
+        )
+
     def call(interp, *args):
-        return _well_spmv_call(
+        out = _well_spmv_call(
             *args,
             n_groups=well.n_groups,
             n_passes=well.n_passes,
             merge_rounds=well.merge_rounds,
             vregs=well.vregs_per_tile,
-            bpv=well.blocks_per_vrow,
+            bpv=well.out_cols,
             win_rows=well.win_rows,
             x_mode=str(x_mode),
             idroute=well.idroute,
+            n_ex_groups=well.n_ex_groups,
+            blk=well.block,
+            sel_g=sel_g,
+            sel_p4=sel_p4,
+            sel_p2=sel_p2,
             interpret=interp,
         )
+        if stray is not None:
+            exm, exj, excr, excl, vals2, kn = stray
+            o2 = out.reshape(-1, well.out_cols)
+            o2 = _stray_patch_call(
+                exm, exj, excr, excl, vals2, o2, args[-1],
+                n_stray=kn, interpret=interp,
+            )
+            out = o2.reshape(out.shape)
+        return out
 
-    operands = (well.q, well.qv, well.data, well.w, well.rts, x2d)
+    if well.n_ex_groups:
+        operands = (
+            well.q, well.qv, well.ex_q, well.data, well.w, well.rts,
+            well.ex_tw, x2d,
+        )
+    else:
+        operands = (
+            well.q, well.qv, jnp.zeros_like(well.q), well.data,
+            well.w, well.rts, jnp.zeros((0,), jnp.int32), x2d,
+        )
     if interpret is None:
         # decide per lowering platform, not per global device list: a
         # host-pinned setup (SolverConfig.setup_on_host) traces this for
@@ -328,10 +516,10 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
     # (T, vregs*8, B) → row-major rows; each vreg-row's first
     # rows_per_vrow lanes are real rows
     g = well.rows_per_vrow
-    y = out.reshape(-1, well.blocks_per_vrow)[:, :g].reshape(-1)[
+    y = out.reshape(-1, well.out_cols)[:, :g].reshape(-1)[
         : well.shape[0]
     ]
-    if well.extra_cols.size:
+    if well.extra_cols.size and stray is None:
         contrib = well.extra_vals * x[well.extra_cols]
         # extras were deduped by row at build time: segment-sum the
         # per-entry products, then a sorted+unique scatter-add (XLA's

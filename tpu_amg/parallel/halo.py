@@ -350,6 +350,7 @@ class HaloWELL:
     idroute: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    bcols: int = dataclasses.field(default=0, metadata=dict(static=True))
     block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
@@ -397,6 +398,7 @@ class HaloWELL:
             n_passes=self.n_passes,
             merge_rounds=self.merge_rounds,
             idroute=self.idroute,
+            bcols=self.bcols,
             block_size=self.block_size,
         )
 
@@ -445,8 +447,11 @@ class HaloWELL:
         # identity-route must be decided GLOBALLY (the rts encodings of
         # the two layouts differ) — use the full-matrix criterion
         nnz_row_g = np.diff(indptr)
-        over2 = np.maximum(nnz_row_g - 2 * block, 0).sum()
-        idroute = bool(over2 <= 0.25 * 0.02 * csr.nnz)
+        from tpu_amg.sparse.well import MAX_OV_ROUNDS
+        over_cap = np.maximum(
+            nnz_row_g - (1 + MAX_OV_ROUNDS) * block, 0
+        ).sum()
+        idroute = bool(over_cap <= 0.25 * 0.02 * csr.nnz)
         builds = []
         g_common = None
         for d in range(n_dev):
@@ -460,6 +465,14 @@ class HaloWELL:
             wl = WELL.from_csr(
                 local, dtype=dtype, vregs_per_tile=32, block=block,
                 rows_per_vrow=g_common, idroute=idroute,
+                # the stacked-shard WELL does not carry the in-kernel
+                # extras slabs yet; shard spills stay on the (padded)
+                # legacy XLA path.  Shards forced to shard 0's
+                # rows_per_vrow can spill a little more than an
+                # auto-g build — allow it (the array path handles any
+                # count)
+                inkernel_extras=False,
+                max_spill_frac=0.08,
             )
             if g_common is None:
                 g_common = wl.rows_per_vrow
@@ -529,6 +542,7 @@ class HaloWELL:
             n_passes=max(b.n_passes for b in builds),
             merge_rounds=max(b.merge_rounds for b in builds),
             idroute=idroute,
+            bcols=builds[0].bcols,
             block_size=csr.block_size,
         )
         # shard the stacked arrays over the mesh axis

@@ -71,10 +71,89 @@ import numpy as np
 LANES = 128
 TABLE_ROWS = 8
 MAX_PASSES = 4
+MAX_OV_ROUNDS = 4  # idroute: overflow blocks (= merge rounds) per row
 
 
 class WellUnsupported(ValueError):
     """Matrix shape/structure outside what the WELL kernel handles."""
+
+
+def _unit_split(tail: int, block: int):
+    """Tail-lane split into (full, half, quarter) overflow units.
+    Quarter units (1 lane at block=4) stop needs-1 rows from burning a
+    bigger grant — the dominant overflow class on hybrid remainders."""
+    half = block // 2
+    quart = max(block // 4, 1)
+    p4 = tail // (3 * block)
+    rem = tail - p4 * block
+    p2 = rem // (3 * half)
+    p1 = (rem - p2 * half) // quart
+    return p4, p2, p1
+
+
+def _unit_split_capped(tail: int, block: int, g: int):
+    """Split with the quarter count capped so every reduce column id
+    fits the 6-bit rts merge field (g + p4 + p2 + p1 <= 64)."""
+    p4, p2, p1 = _unit_split(tail, block)
+    p1 = max(min(p1, 64 - g - p4 - p2), 0)
+    return p4, p2, p1
+
+
+def _grant_units(nnz_row, grp_ids, n_groups, g, block, p4, p2, p1):
+    """Flexible per-row overflow-unit grants for the identity-route
+    layout: each row takes the largest-fitting units first and falls
+    back to smaller (or larger) classes as the group's budgets run
+    out, so per-group demand variance is absorbed by total SLOT
+    capacity instead of per-class unit counts.  Lockstep loop over the
+    g rows of every group simultaneously (vectorized across groups).
+
+    Returns per-row per-class (granted, upos) + row_cap, merge_rounds.
+    """
+    n = len(nnz_row)
+    sizes = (block, block // 2, max(block // 4, 1))
+    budgets = (p4, p2, p1)
+    needs_all = np.clip(nnz_row - block, 0, MAX_OV_ROUNDS * block)
+    rem = [np.full(n_groups, b, dtype=np.int64) for b in budgets]
+    granted = [np.zeros(n, dtype=np.int64) for _ in sizes]
+    upos = [np.zeros(n, dtype=np.int64) for _ in sizes]
+    for j in range(g):
+        rows = np.arange(j, n, g)
+        gi = grp_ids[rows]
+        need = needs_all[rows]
+        rounds_left = np.full(len(rows), MAX_OV_ROUNDS, dtype=np.int64)
+        for c, sz in enumerate(sizes):
+            # units of this class: enough to cover the remaining need
+            # unless a smaller class exists to take the remainder
+            if c < len(sizes) - 1:
+                want = need // sz
+            else:
+                want = -(-need // sz)
+            t = np.minimum(
+                np.minimum(want, rem[c][gi]), rounds_left
+            )
+            upos[c][rows] = budgets[c] - rem[c][gi]
+            rem[c][gi] -= t
+            granted[c][rows] = t
+            need = np.maximum(need - sz * t, 0)
+            rounds_left = rounds_left - t
+        # second chance: cover leftovers with whatever units remain in
+        # any class (e.g. quarters exhausted but halves free) — the
+        # row's units in a class stay contiguous because no other row
+        # touched the budgets since its first-pass take
+        for c, sz in enumerate(sizes):
+            more = np.minimum(
+                np.minimum(-(-need // sz), rem[c][gi]), rounds_left
+            )
+            more = np.where(need > 0, more, 0)
+            rem[c][gi] -= more
+            granted[c][rows] += more
+            need = np.maximum(need - sz * more, 0)
+            rounds_left = rounds_left - more
+    row_cap = block + sum(
+        sz * granted[c] for c, sz in enumerate(sizes)
+    )
+    merge_rounds = int(sum(granted).max(initial=0))
+    return granted, upos, row_cap, merge_rounds
 
 
 def _sorted_unique_inverse(keys: np.ndarray):
@@ -141,10 +220,26 @@ class WELL:
     n_groups: int = dataclasses.field(metadata=dict(static=True))
     n_passes: int = dataclasses.field(metadata=dict(static=True))
     merge_rounds: int = dataclasses.field(metadata=dict(static=True))
-    # identity-route layout: primary block at the row's own lane, one
-    # overflow block merged in a single round, no route gather
+    # in-kernel extras (idroute only): spilled entries keep their slot
+    # with the reserved pass id 3 and gather x from a per-TILE extras
+    # table — XLA gather/scatter of even a few spills costs a fixed
+    # ~85 us PER OP on this hardware (see the builder's extras section)
+    #   ex_tw (T, 8, 128) int32: eta(3) | grp(5)<<3 at table positions
+    #   ex_q  (T,)        int32: per-tile 8-aligned extras window base
+    ex_tw: jax.Array = None
+    ex_q: jax.Array = None
+    n_ex_groups: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    # identity-route layout: primary block at the row's own lane,
+    # overflow in heterogeneous tail units (full + half), each folded
+    # by its own merge round; no route gather.  ``bcols`` is the reduce
+    # output width g + p4 + p2 (0 = legacy 128/block)
     idroute: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
+    )
+    bcols: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
     )
     block_size: int = dataclasses.field(
         default=1, metadata=dict(static=True)
@@ -165,6 +260,11 @@ class WELL:
     @property
     def blocks_per_vrow(self) -> int:
         return LANES // self.block
+
+    @property
+    def out_cols(self) -> int:
+        """Reduce output width (kernel out/rts minor dim)."""
+        return self.bcols or self.blocks_per_vrow
 
     @property
     def n_extras(self) -> int:
@@ -210,6 +310,7 @@ class WELL:
         max_spill_frac: float = 0.02,
         rows_per_vrow: int | None = None,
         idroute: bool | None = None,
+        inkernel_extras: bool = True,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
@@ -228,6 +329,7 @@ class WELL:
                         max_passes=max_passes, max_span_rows=max_span_rows,
                         max_spill_frac=max_spill_frac,
                         rows_per_vrow=rows_per_vrow, idroute=idroute,
+                        inkernel_extras=inkernel_extras,
                     )
                 except WellUnsupported as e:
                     err = e
@@ -254,8 +356,10 @@ class WELL:
         # showed the dynamic-lane merge/route chain dominating the
         # block=4 kernel) -----------------------------------------------
         if idroute is None:
-            over2 = np.maximum(nnz_row - 2 * block, 0).sum()
-            idroute = bool(over2 <= 0.25 * max_spill_frac * nnz)
+            over_cap = np.maximum(
+                nnz_row - (1 + MAX_OV_ROUNDS) * block, 0
+            ).sum()
+            idroute = bool(over_cap <= 0.25 * max_spill_frac * nnz)
         idroute = bool(idroute)
 
         # ---- choose rows_per_vrow: largest g whose per-group block
@@ -268,24 +372,56 @@ class WELL:
                 n_groups = -(-n // cand)
                 pad_rows = n_groups * cand - n
                 if idroute:
-                    # overflow blocks must fit the bpv - g tail lanes
-                    demand = np.concatenate([
-                        (nnz_row > block).astype(np.int64),
-                        np.zeros(pad_rows, np.int64),
-                    ])
-                    budget = bpv - cand
+                    # run the actual flexible grant: any under-granted
+                    # slot becomes a LEGACY spill (fixed ~160 us XLA
+                    # cost), so require (near-)zero leftovers
+                    tail_c = LANES - block * cand
+                    if tail_c < 0:
+                        continue
+                    p4_c, p2_c, p1_c = _unit_split_capped(
+                        tail_c, block, cand
+                    )
+                    gids_c = np.arange(n) // cand
+                    _, _, cap_c, _ = _grant_units(
+                        nnz_row, gids_c, n_groups, cand, block,
+                        p4_c, p2_c, p1_c,
+                    )
+                    needs_c = np.clip(
+                        nnz_row - block, 0, MAX_OV_ROUNDS * block
+                    )
+                    over = np.maximum(
+                        block + needs_c - cap_c, 0
+                    ).sum()
+                    # strays ride the on-chip patch kernel
+                    # (~10 VPU ops each); don't shrink g (more slots =
+                    # more stream) to save entries that cost ~nothing
+                    if over <= min(1536, max(64, nnz // 500)):
+                        g = cand
+                        break
+                    continue
                 else:
                     demand = np.concatenate([
                         np.minimum(nb_full, bpv),
                         np.zeros(pad_rows, np.int64),
                     ])
-                    budget = bpv
-                gsum = demand.reshape(n_groups, cand).sum(axis=1)
-                over = np.maximum(gsum - budget, 0).sum()
-                if over * block <= max(max_spill_frac * nnz / 4, 0.0):
+                    gsum = demand.reshape(n_groups, cand).sum(axis=1)
+                    over = np.maximum(gsum - bpv, 0).sum() * block
+                if over <= max(max_spill_frac * nnz / 4, 0.0):
                     g = cand
                     break
             if g is None:
+                if idroute:
+                    # no g packs every row's overflow — fall back to
+                    # the generic merge/route layout
+                    return WELL.from_csr(
+                        csr, dtype=dtype,
+                        vregs_per_tile=vregs_per_tile, block=block,
+                        max_passes=max_passes,
+                        max_span_rows=max_span_rows,
+                        max_spill_frac=max_spill_frac,
+                        rows_per_vrow=rows_per_vrow, idroute=False,
+                        inkernel_extras=inkernel_extras,
+                    )
                 raise WellUnsupported(
                     "row density too irregular for WELL"
                 )
@@ -302,19 +438,26 @@ class WELL:
                     f"rows_per_vrow {g} > {bpv} blocks in identity-route "
                     "layout"
                 )
-            # primary block at lane j; ONE overflow block in the tail
-            # lanes [g, bpv), granted first-come within each group
-            nb = np.minimum(nb_full, 2)
-            is_ov = nb == 2
-            cnt = np.zeros(n_groups_rows, dtype=np.int64)
-            np.add.at(cnt, grp_ids, is_ov.astype(np.int64))
-            start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            rank = np.cumsum(is_ov) - 1 - start[grp_ids]
-            denied = is_ov & (rank >= bpv - g)
-            nb[denied] = 1
-            ov_lane = np.where(nb == 2, g + rank, j_in_grp)
+            # primary block at the row's own lane j; overflow in
+            # HETEROGENEOUS tail units — p4 full (``block``-lane) and
+            # p2 half units share the tail, so a row needing 1-2 extra
+            # slots takes a half unit instead of wasting a full block.
+            # With a 4-lane grant quantum the 1M hybrid remainder
+            # denied ~6.9k entries to group-budget overflow (any legacy
+            # spill costs a fixed ~160 us in XLA); half units raise the
+            # per-group unit capacity past ~4 sigma of the demand.
+            # Each granted unit is folded by its own merge round — the
+            # tile-batched merge measured ~free on hardware (283.8 us
+            # full vs 284.0 no-merge at 1M).
+            half = block // 2
+            quart = max(block // 4, 1)
+            tail = LANES - block * g
+            p4, p2, p1 = _unit_split_capped(tail, block, g)
+            bcols = g + p4 + p2 + p1
+            granted, upos, row_cap, merge_rounds = _grant_units(
+                nnz_row, grp_ids, n_groups_rows, g, block, p4, p2, p1
+            )
             b0 = j_in_grp
-            merge_rounds = 1 if (nb == 2).any() else 0
         else:
             # over-budget rows spill; 16-block cap bounds merge_rounds
             # at 4
@@ -341,13 +484,42 @@ class WELL:
 
         # ---- entry slots ---------------------------------------------
         k_in_row = np.arange(nnz) - np.repeat(indptr[:-1], nnz_row)
-        keep = k_in_row < nb[rows_of] * block
         if idroute:
-            blk = np.where(
-                k_in_row < block, b0[rows_of], ov_lane[rows_of]
+            r = rows_of
+            keep = k_in_row < row_cap[r]
+            # slot order per row: primary block, then full / half /
+            # quarter tail units
+            lane_p = b0[r] * block + k_in_row
+            idx = k_in_row - block
+            off0 = block * granted[0][r]
+            off1 = off0 + half * granted[1][r]
+            lane_f = (
+                g + upos[0][r] + np.maximum(idx, 0) // block
+            ) * block + idx % block
+            i1 = np.maximum(idx - off0, 0)
+            lane_h = (
+                (g + p4) * block
+                + (upos[1][r] + i1 // half) * half
+                + i1 % half
             )
-            lane = blk * block + k_in_row % block
+            i2 = np.maximum(idx - off1, 0)
+            lane_q = (
+                (g + p4) * block
+                + p2 * half
+                + (upos[2][r] + i2 // quart) * quart
+                + i2 % quart
+            )
+            lane = np.where(
+                k_in_row < block,
+                lane_p,
+                np.where(
+                    idx < off0,
+                    lane_f,
+                    np.where(idx < off1, lane_h, lane_q),
+                ),
+            )
         else:
+            keep = k_in_row < nb[rows_of] * block
             lane = (
                 b0[rows_of] + k_in_row // block
             ) * block + k_in_row % block
@@ -443,9 +615,10 @@ class WELL:
         )
         passid_u = np.arange(len(utrip)) - gstart
         pass_k = passid_u[trip_inv]
-        n_passes = int(min(pass_k.max(initial=0) + 1, max_passes))
+        mp = min(max_passes, 3) if idroute else max_passes
+        n_passes = int(min(pass_k.max(initial=0) + 1, mp))
 
-        over_pass = pass_k >= max_passes
+        over_pass = pass_k >= mp
         if over_pass.any():
             keep[ke[over_pass]] = False
             sel = ~over_pass
@@ -454,7 +627,12 @@ class WELL:
             )
 
         spilled = nnz - len(ke)
-        if spilled > max_spill_frac * nnz:
+        spill_cap = max_spill_frac * nnz
+        if idroute and inkernel_extras:
+            # spills ride the in-kernel extras table / stray patch
+            # kernel (~10 VPU ops each, capped at 4096 strays)
+            spill_cap = max(spill_cap, 4096)
+        if spilled > spill_cap:
             raise WellUnsupported(
                 f"{spilled}/{nnz} entries spill outside the WELL layout"
             )
@@ -462,7 +640,7 @@ class WELL:
         rho = np.zeros(
             (nv_pad * TABLE_ROWS, max_passes, LANES), dtype=np.int64
         )
-        u_ok = passid_u < max_passes
+        u_ok = passid_u < mp
         u_vm = utrip // (TABLE_ROWS * LANES)
         u_lam = (utrip // TABLE_ROWS) % LANES
         u_stk = utrip % TABLE_ROWS
@@ -479,19 +657,40 @@ class WELL:
 
         # ---- packed word: lam | pid<<7 | rho_p<<(9+3p) | amap<<21 ----
         w = lam_a | (pid_a << 7)
-        for p in range(max_passes):
+        for p in range(mp):
             w |= rho[:, p] << (9 + 3 * p)
         w |= amap.reshape(nv_pad * TABLE_ROWS, LANES) << 21
         assert w.max(initial=0) < (1 << 31)
 
         # ---- rts narrow sidecar ---------------------------------------
-        rts = np.zeros((nv_pad * TABLE_ROWS, bpv), dtype=np.int64)
+        n_bcols = bcols if idroute else bpv
+        rts = np.zeros((nv_pad * TABLE_ROWS, n_bcols), dtype=np.int64)
         if idroute:
-            # lane j: overflow block lane (bits 0-4) | has-overflow
-            # flag (bit 5); no route — the primary block IS lane j
-            rts[grp_ids, j_in_grp] |= ov_lane | (
-                (nb == 2).astype(np.int64) << 5
-            )
+            # at lane j, 7 bits per merge round k: overflow unit COLUMN
+            # (bits 7k..7k+5) | present flag (bit 7k+6); no route — the
+            # primary block IS column j.  Rounds < granted4 fold the
+            # row's full units, the next round its half unit.
+            enc = np.zeros(n, dtype=np.int64)
+            c0 = granted[0]
+            c01 = granted[0] + granted[1]
+            tot = c01 + granted[2]
+            for k in range(merge_rounds):
+                col = np.where(
+                    k < c0,
+                    g + upos[0] + k,
+                    np.where(
+                        k < c01,
+                        g + p4 + upos[1] + np.maximum(k - c0, 0),
+                        g + p4 + p2 + upos[2]
+                        + np.maximum(k - c01, 0),
+                    ),
+                )
+                have = k < tot
+                enc |= (
+                    np.where(have, col, j_in_grp)
+                    | (have.astype(np.int64) << 6)
+                ) << (7 * k)
+            rts[grp_ids, j_in_grp] |= enc
         else:
             rts[grp_ids, j_in_grp] |= b0
         if not idroute and merge_rounds:
@@ -525,8 +724,106 @@ class WELL:
         pt = phi_v.reshape(t_count, f).max(axis=1)
         gt = ng_v.reshape(t_count, f).max(axis=1)
 
-        # ---- extras (deduped by row for the sorted+unique scatter) -----
+        # ---- extras ---------------------------------------------------
         ex = np.flatnonzero(~keep)  # row-major → rows_of[ex] sorted
+        # In-kernel extras (idroute): XLA gather/scatter costs a fixed
+        # ~85 us PER OP on this hardware regardless of count, so even a
+        # handful of spills must ride the kernel.  Spilled entries
+        # already OWN an (empty) slot — they were dropped for table
+        # capacity, not space — so they are resurrected with the
+        # reserved pass id 3: their x comes from a per-TILE extras
+        # table (built exactly like stage A from a per-tile window
+        # ``ex_q`` + the ``ex_tw`` eta|grp slab) through the stage-B
+        # two-step gather, with the table stack index σ stored in the
+        # word bits 18-20 that the idroute 3-pass cap frees (at the
+        # TABLE position (m-row, λ), the same table-domain encoding
+        # trick as rho).  The slot then flows through the normal
+        # block-sum matmul — no scatter anywhere.
+        ex_tw_a = ex_q_a = None
+        n_ex_groups = 0
+        if idroute and inkernel_extras and len(ex):
+            has_slot = k_in_row[ex] < row_cap[rows_of[ex]]
+            exs = ex[has_slot]
+            if len(exs):
+                e_rows = rows_of[exs]
+                e_cols = indices[exs]
+                e_lam = e_cols % LANES
+                e_vm = e_rows // g
+                e_te = e_vm // m_rows
+                # one σ per word position (m-row, λ): entries sharing
+                # the position must also share the column (same table
+                # slot); others fall back to the legacy path
+                wkey = e_vm * LANES + e_lam
+                order_w = np.lexsort((e_cols, wkey))
+                kw = wkey[order_w]
+                neww = np.concatenate([[True], kw[1:] != kw[:-1]])
+                widx = np.maximum.accumulate(
+                    np.where(neww, np.arange(len(kw)), 0)
+                )
+                ok_sorted = e_cols[order_w] == e_cols[order_w][widx]
+                e_ok = np.empty(len(exs), dtype=bool)
+                e_ok[order_w] = ok_sorted
+                # tile-level dedup pairs (tile, col) → table stack σ
+                pkey = e_te * np.int64(ncols) + e_cols
+                up, pinv = _sorted_unique_inverse(pkey)
+                p_t = up // ncols
+                p_c = up % ncols
+                p_lam = p_c % LANES
+                order_p = np.lexsort((p_c, p_lam, p_t))
+                sk2 = p_t[order_p] * LANES + p_lam[order_p]
+                ng2 = np.concatenate([[True], sk2[1:] != sk2[:-1]])
+                gs2 = np.maximum.accumulate(
+                    np.where(ng2, np.arange(len(sk2)), 0)
+                )
+                sig_pair = np.empty(len(up), dtype=np.int64)
+                sig_pair[order_p] = np.arange(len(sk2)) - gs2
+                e_ok &= (sig_pair < TABLE_ROWS)[pinv]
+                # per-tile extras window (8-aligned; 5-bit grp → ≤ 32
+                # groups = 256 x2d rows)
+                exq_min = np.full(t_count, np.int64(1 << 60))
+                sel0 = np.flatnonzero(e_ok)
+                np.minimum.at(
+                    exq_min, e_te[sel0], e_cols[sel0] // LANES
+                )
+                has_ex = exq_min < (1 << 60)
+                exq = np.where(has_ex, exq_min & ~np.int64(7), 0)
+                exq = np.minimum(exq, max(x2d_rows - 8 * 32, 0))
+                rel_e = e_cols // LANES - exq[e_te]
+                e_ok &= (rel_e >= 0) & (rel_e < 32 * 8)
+                n_ex_groups = int(
+                    (rel_e[e_ok] // 8).max(initial=-1) + 1
+                )
+            if len(exs) and n_ex_groups > 0:
+                sel = np.flatnonzero(e_ok)
+                res = exs[sel]  # resurrected entries
+                r_vm = e_vm[sel]
+                r_lane = lane[res]
+                data_a[r_vm, r_lane] = vals[res]
+                w[r_vm, r_lane] |= e_lam[sel] | (3 << 7)
+                keep[res] = True
+                # σ at the (m-row, λ) word position (bits 18-20)
+                w[r_vm, e_lam[sel]] |= sig_pair[pinv[sel]] << 18
+                # table-domain slab: eta|grp at (σ, λ) per used pair
+                used = np.unique(pinv[sel])
+                rel_p = p_c[used] // LANES - exq[p_t[used]]
+                ex_tw_np = np.zeros(
+                    (t_count, TABLE_ROWS, LANES), dtype=np.int64
+                )
+                ex_tw_np[p_t[used], sig_pair[used], p_lam[used]] = (
+                    rel_p % 8
+                ) | ((rel_p // 8) << 3)
+                ex_tw_a = ex_tw_np
+                ex_q_a = exq
+                # blocked x mode streams [q_t, q_t + win_rows) per
+                # tile; widen the tile windows to cover the extras
+                q_t = np.where(has_ex, np.minimum(q_t, exq), q_t)
+                end_all = np.maximum(
+                    win_end,
+                    np.where(has_ex, exq + 8 * n_ex_groups, 0),
+                )
+                win_rows = int((end_all - q_t).max())
+                win_rows = -(-win_rows // 8) * 8
+                ex = np.flatnonzero(~keep)
         ex_urows, ex_seg = np.unique(rows_of[ex], return_inverse=True)
 
         def tile(a, inner, dt):
@@ -543,7 +840,7 @@ class WELL:
                 data_a.reshape(t_count, m_rows, LANES), dtype=dtype
             ),
             w=tile(w, (m_rows, LANES), np.int32),
-            rts=tile(rts, (m_rows, bpv), np.int32),
+            rts=tile(rts, (m_rows, n_bcols), np.int32),
             extra_rows=jnp.asarray(ex_urows, dtype=jnp.int32),
             extra_seg=jnp.asarray(ex_seg, dtype=jnp.int32),
             extra_cols=jnp.asarray(indices[ex], dtype=jnp.int32),
@@ -558,6 +855,16 @@ class WELL:
             n_groups=int(NG),
             n_passes=int(max(n_passes, 1)),
             merge_rounds=int(merge_rounds),
+            ex_tw=(
+                None if ex_tw_a is None
+                else jnp.asarray(ex_tw_a, dtype=jnp.int32)
+            ),
+            ex_q=(
+                None if ex_q_a is None
+                else jnp.asarray(ex_q_a, dtype=jnp.int32)
+            ),
+            n_ex_groups=int(n_ex_groups),
             idroute=idroute,
+            bcols=int(bcols) if idroute else 0,
             block_size=int(getattr(csr, "block_size", 1)),
         )
