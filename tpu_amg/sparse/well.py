@@ -57,6 +57,20 @@ Hardware A/B at 1M 2-D (v5e, 400-rep chains): v1 634.6 us → v2
 with transposed stage A (532 us — scalar branches cost more than the
 masked work they skip at NG=10), VPU roll-tree reduce (521 us),
 Precision.HIGH reduce (unsupported by Mosaic).
+
+Third-generation layout (round 4, MEASURED.md "v3"): when every row
+fits 1 + MAX_OV_ROUNDS blocks (any hybrid remainder), the
+**identity-route** layout puts each row's primary block AT its own
+reduce column (no route gather) and grants overflow from
+**heterogeneous tail units** — full/half/quarter lane groups defined
+by a static piecewise reduce selector — each folded by its own ~free
+merge round.  Spills keep their empty slot under the reserved gather
+pass 3 and read a per-TILE **extras table** (σ stored in the bits the
+3-pass cap frees, at table positions like rho); the last few hundred
+strays are patched into the reduce output by a grid-1 Pallas kernel.
+Rationale: XLA gather/scatter costs a fixed ~85 us PER OP here, so
+extras must never touch the XLA path.  Hybrid e2e at 1M: 531 → 400 us
+(18.3 Gnnz/s), slots x1.43 → x1.25.
 """
 
 from __future__ import annotations
