@@ -409,7 +409,7 @@ class WELL:
                     # strays ride the on-chip patch kernel
                     # (~10 VPU ops each); don't shrink g (more slots =
                     # more stream) to save entries that cost ~nothing
-                    if over <= min(1536, max(64, nnz // 500)):
+                    if over <= min(1536, max(64, nnz // 10)):
                         g = cand
                         break
                     continue
