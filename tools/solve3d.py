@@ -66,18 +66,21 @@ def main():
 
     x = jnp.ones(a.nrows, dtype=jnp.float32)
 
+    # pass mg as a jit ARG: closure-captured operators become giant
+    # HLO constants (2.6 GB at 1M) and the remote-compile tunnel
+    # rejects the program body (HTTP 413)
     @jax.jit
-    def cycle_n(v):
+    def cycle_n(m_, v):
         def body(u, _):
-            return mg.mv(u), None
+            return m_.mv(u), None
         u, _ = jax.lax.scan(body, v, None, length=reps)
         return u
 
-    _sync(cycle_n(x))
+    _sync(cycle_n(mg, x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(cycle_n(x))
+        _sync(cycle_n(mg, x))
         best = min(best, (time.perf_counter() - t0) / reps)
     print(f"# vcycle[f32]={best*1e3:.2f}ms", file=sys.stderr, flush=True)
 
