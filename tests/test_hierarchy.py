@@ -121,3 +121,54 @@ class TestAlgebraicMultigrid:
         op = aslinearoperator(a)
         cf = approx_convergence_factor(op, mg, num_iters=30)
         assert cf < 0.9
+
+
+class TestCoarseDrop:
+    def test_coarse_drop_sparsifies_and_converges(self):
+        """Non-Galerkin coarse sparsification (coarse_drop_tol) must cut
+        coarse-level fill without hurting convergence materially."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpu_amg.solver import AMGSolver, SolverConfig
+        from tpu_amg.solvers import cg
+        from tpu_amg.utils.problems import poisson3d
+
+        a = poisson3d(14)
+        common = dict(
+            coarsening_near_null_dim=4, interp_near_null_dim=2,
+            coarsening_factor=16.0, smoothing_iters=5, coarsest_dim=100,
+            dtype=jnp.float64, sa_trunc_tol=0.1, host_below=0, seed=0,
+        )
+        plain = AMGSolver.setup(a, SolverConfig(**common))
+        drop = AMGSolver.setup(
+            a, SolverConfig(coarse_drop_tol=0.01, **common)
+        )
+        assert (
+            drop.hierarchy.op_complexity()
+            < plain.hierarchy.op_complexity()
+        )
+        x_true = np.random.default_rng(0).normal(size=a.nrows)
+        b = drop.op.mv(jnp.asarray(x_true))
+        x, info = cg(drop.op, b, drop.preconditioner, rtol=1e-8,
+                     maxiter=60)
+        assert bool(info.converged)
+
+    def test_coarse_drop_block_matrix_stays_spd(self):
+        """Block (elasticity-like) hierarchies must survive dropping:
+        intra-block entries are protected so the bs x bs diagonal
+        blocks stay invertible (block_jacobi_smooth raises otherwise).
+        """
+        import jax.numpy as jnp
+
+        from tpu_amg.solver import AMGSolver, SolverConfig
+        from tpu_amg.utils.problems import elasticity_3d
+
+        a = elasticity_3d(7)
+        s = AMGSolver.setup(a, SolverConfig(
+            coarsening_near_null_dim=8, interp_near_null_dim=6,
+            coarsening_factor=8.0, smoothing_iters=5, coarsest_dim=200,
+            dtype=jnp.float64, sa_trunc_tol=0.05, coarse_drop_tol=0.02,
+            host_below=0, seed=0,
+        ))
+        assert len(s.hierarchy.matrices) >= 2

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--trunc", type=float, default=None,
                     help="P truncation tol (default 0.1 scalar / "
                          "0.05 elasticity; 0 disables)")
+    ap.add_argument("--drop", type=float, default=0.01,
+                    help="non-Galerkin coarse sparsification tol "
+                         "(0 disables)")
     args = ap.parse_args()
 
     import os
@@ -49,6 +52,7 @@ def main():
         0.05 if args.elasticity else 0.1
     )
     trunc = trunc or None
+    drop = args.drop or None
     if args.elasticity:
         cfg = SolverConfig(
             coarsening_near_null_dim=12,
@@ -61,6 +65,7 @@ def main():
             dense_threshold=8192,
             setup_on_host=True,
             sa_trunc_tol=trunc,
+            coarse_drop_tol=drop,
         )
     else:
         cfg = SolverConfig(
@@ -76,6 +81,7 @@ def main():
             dense_threshold=8192,
             setup_on_host=True,
             sa_trunc_tol=trunc,
+            coarse_drop_tol=drop,
         )
     solver = AMGSolver.setup(a, cfg)
     t_setup = time.perf_counter() - t0

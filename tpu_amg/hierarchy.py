@@ -52,6 +52,13 @@ class HierarchyConfig:
         default_factory=lambda: InterpolationConfig()
     )
     max_levels: Optional[int] = None
+    # Non-Galerkin coarse-operator sparsification (Treister/Yavneh
+    # class): after each RAP, drop |a_ij| < tol*sqrt(a_ii*a_jj) and
+    # lump the dropped mass into the diagonal (row sums preserved —
+    # interpolation/sa.py filter_matrix).  3-D SA coarse operators
+    # otherwise reach ~130 nnz/row with a 40k-wide band at 1M dofs,
+    # which no gather-free device format can stream efficiently.
+    coarse_drop_tol: Optional[float] = None
 
     def build(
         self, a: CSR, near_null: np.ndarray, nn_weights: Optional[np.ndarray] = None
@@ -104,6 +111,16 @@ class Hierarchy:
             w = self.nn_weights[-1]
             galerkin = self.config.interpolation_config.build(a, nn, w)
             coarse = galerkin.coarse_mat
+            if self.config.coarse_drop_tol:
+                from tpu_amg.interpolation.sa import filter_matrix
+
+                bs = coarse.block_size
+                coarse = filter_matrix(
+                    coarse, self.config.coarse_drop_tol
+                ).with_block_size(bs)
+                galerkin = dataclasses.replace(
+                    galerkin, coarse_mat=coarse
+                )
             coarse_nn = self._postprocess_near_null(coarse, galerkin.coarse_nn)
             self.add_level(galerkin, coarse_nn)
             logger.info(

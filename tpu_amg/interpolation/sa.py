@@ -212,7 +212,10 @@ def truncate_prolongator(p: CSR, tol: float) -> CSR:
 def filter_matrix(a: CSR, theta: float) -> CSR:
     """Strength-filtered A for prolongation smoothing: drop off-diagonal
     entries with |aᵢⱼ| < θ·√(aᵢᵢ·aⱼⱼ) and lump them into the diagonal
-    (row sums preserved).
+    (row sums preserved).  For block matrices only entries OUTSIDE the
+    block diagonal are dropped — lumping intra-block couplings onto the
+    scalar diagonal can leave the bs×bs diagonal blocks indefinite
+    (observed at drop 0.02 on cd=2 Galerkin levels).
 
     Not in the reference (whose plain-Jacobi P smoothing re-couples
     across coefficient jumps); standard filtered-SA improvement for
@@ -220,7 +223,8 @@ def filter_matrix(a: CSR, theta: float) -> CSR:
     """
     rows, cols, vals = a.coo()
     diag = a.diagonal()
-    off = rows != cols
+    bs = max(a.block_size, 1)
+    off = (rows // bs) != (cols // bs) if bs > 1 else rows != cols
     weak = off & (
         np.abs(vals) < theta * np.sqrt(np.abs(diag[rows] * diag[cols]))
     )

@@ -53,6 +53,8 @@ class SolverConfig:
     # fill control for 3-D meshes, where smoothed-P Galerkin stencils
     # otherwise reach the full 2-hop aggregate neighborhood.
     sa_trunc_tol: Optional[float] = None
+    # non-Galerkin coarse sparsification (hierarchy.py coarse_drop_tol)
+    coarse_drop_tol: Optional[float] = None
     smoothing_iters: int = 20
     coarsening_factor: float = 8.0
     aggregation_iters: int = 100
@@ -198,6 +200,7 @@ class AMGSolver:
             coarsest_dim=config.coarsest_dim,
             interpolation_config=interp,
             max_levels=config.max_levels,
+            coarse_drop_tol=config.coarse_drop_tol,
         )
         mg_cfg = AMGSolver._mg_config(config)
         if config.method == "adaptive":
