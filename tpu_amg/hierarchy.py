@@ -116,7 +116,7 @@ class Hierarchy:
 
                 bs = coarse.block_size
                 coarse = filter_matrix(
-                    coarse, self.config.coarse_drop_tol
+                    coarse, self.config.coarse_drop_tol, lump_abs=True
                 ).with_block_size(bs)
                 galerkin = dataclasses.replace(
                     galerkin, coarse_mat=coarse

@@ -209,13 +209,20 @@ def truncate_prolongator(p: CSR, tol: float) -> CSR:
     )
 
 
-def filter_matrix(a: CSR, theta: float) -> CSR:
+def filter_matrix(a: CSR, theta: float, lump_abs: bool = False) -> CSR:
     """Strength-filtered A for prolongation smoothing: drop off-diagonal
-    entries with |aᵢⱼ| < θ·√(aᵢᵢ·aⱼⱼ) and lump them into the diagonal
-    (row sums preserved).  For block matrices only entries OUTSIDE the
-    block diagonal are dropped — lumping intra-block couplings onto the
-    scalar diagonal can leave the bs×bs diagonal blocks indefinite
-    (observed at drop 0.02 on cd=2 Galerkin levels).
+    entries with |aᵢⱼ| < θ·√(aᵢᵢ·aⱼⱼ) and lump them into the diagonal.
+    For block matrices only entries OUTSIDE the block diagonal are
+    dropped — lumping intra-block couplings onto the scalar diagonal
+    can leave the bs×bs diagonal blocks indefinite.
+
+    ``lump_abs=False`` preserves row sums (the right choice when the
+    result only smooths P).  ``lump_abs=True`` lumps |a_ij| instead:
+    each dropped symmetric pair then adds the PSD update
+    [[|v|, -v], [-v, |v|]], so the sparsified operator stays SPD — the
+    required choice when the result IS the coarse operator
+    (hierarchy.py coarse_drop_tol; signed lumping shrank diagonals
+    enough at 1M dofs to turn cd=2 diagonal blocks indefinite).
 
     Not in the reference (whose plain-Jacobi P smoothing re-couples
     across coefficient jumps); standard filtered-SA improvement for
@@ -229,7 +236,8 @@ def filter_matrix(a: CSR, theta: float) -> CSR:
         np.abs(vals) < theta * np.sqrt(np.abs(diag[rows] * diag[cols]))
     )
     lump = np.zeros(a.nrows)
-    np.add.at(lump, rows[weak], vals[weak])
+    lv = np.abs(vals[weak]) if lump_abs else vals[weak]
+    np.add.at(lump, rows[weak], lv)
     keep = ~weak
     rows_k = np.concatenate([rows[keep], np.arange(a.nrows)])
     cols_k = np.concatenate([cols[keep], np.arange(a.nrows)])
