@@ -303,3 +303,47 @@ class TestStrayPatch:
         np.testing.assert_allclose(
             y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
         )
+
+
+class TestCompactOutput:
+    def test_compact_matches_legacy(self):
+        """Opt-in compact output layout (in-kernel row-major compaction):
+        same y as the legacy padded-block layout + XLA extract."""
+        sp = _random_banded(3000, 40, 3, 7, seed=11).tocsr()
+        sp.sort_indices()
+        w = WELL.from_csr(CSR.from_scipy(sp), block=4, compact=True)
+        if not w.compact:
+            pytest.skip("no aligned rows_per_vrow for this matrix")
+        assert w.idroute
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(3000).astype(np.float32)
+        y = np.asarray(w.mv(np.asarray(x)))
+        ref = sp @ x
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
+        )
+
+    def test_rectangular_well(self):
+        """WELL on a rectangular banded operator (grid-transfer shape):
+        nothing in the layout requires squareness — callers gate on it
+        only for the halo path."""
+        rng = np.random.default_rng(5)
+        n, nc = 4000, 640
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            deg = rng.integers(2, 6)
+            nbr = np.unique(
+                np.clip(i * nc // n + rng.integers(-12, 13, deg), 0, nc - 1)
+            )
+            rows += [i] * len(nbr)
+            cols += list(nbr)
+            vals += list(rng.standard_normal(len(nbr)))
+        sp = sps.coo_matrix((vals, (rows, cols)), shape=(n, nc)).tocsr()
+        sp.sort_indices()
+        w = WELL.from_csr(CSR.from_scipy(sp), block=4)
+        x = rng.standard_normal(nc).astype(np.float32)
+        y = np.asarray(w.mv(np.asarray(x)))
+        ref = sp @ x
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=2e-5 * max(np.abs(ref).max(), 1)
+        )

@@ -27,17 +27,33 @@ def jnp_zero():
     return jnp.zeros((), jnp.float32)
 
 
-def timed(fn, x, reps, trials=3):
+def timed(op, x, reps, trials=3, apply=None):
+    """Time ``op.mv`` (or ``apply(op, v)``) as a chained on-device scan.
+
+    ``op`` is passed as a jit ARGUMENT: closure-captured operators become
+    giant HLO constants (2.6 GB at 1M) and the remote-compile tunnel
+    rejects the program body (HTTP 413)."""
     import jax
+    import jax.numpy as jnp
+
+    if apply is None:
+        apply = lambda o, v: o.mv(v)
 
     @jax.jit
-    def chain(v):
+    def chain(o, v):
         def body(carry, _):
             u, acc = carry
-            u2 = fn(u)
+            # loop-carried data dependence for the shape-changing (P/R)
+            # branch: ``bump`` is always 0.0 at runtime but depends on
+            # acc (which depends on the previous fn output), so XLA's
+            # while-loop invariant code motion cannot hoist the apply out
+            # of the scan — without it the per-rep time could read up to
+            # ``reps``x too small
+            bump = jnp.where(jnp.isnan(acc), 1.0, 0.0).astype(u.dtype)
+            u2 = apply(o, u + bump)
             if u2.shape != u.shape:
-                # shape-changing op (P/R): keep the input fixed and keep
-                # the output alive via the scalar accumulator so XLA
+                # shape-changing op (P/R): keep the input shape fixed and
+                # keep the output alive via the scalar accumulator so XLA
                 # cannot dead-code-eliminate the op
                 return (u, acc + u2.ravel()[0]), None
             return (u2, acc), None
@@ -47,11 +63,11 @@ def timed(fn, x, reps, trials=3):
         )
         return u.ravel()[0] + acc
 
-    _sync(chain(x))
+    _sync(chain(op, x))
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        _sync(chain(x))
+        _sync(chain(op, x))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -86,33 +102,58 @@ def main():
     )
     solver = AMGSolver.load(args.ckpt, a, cfg)
     mg = solver.preconditioner
+    from tpu_amg.preconditioners.multigrid import Multigrid
+
+    if not isinstance(mg, Multigrid):
+        # adaptive-composite archives: attribute each Multigrid member
+        members = getattr(mg, "components", None)
+        if members:
+            print(f"# composite preconditioner with {len(members)} "
+                  f"components; attributing each", flush=True)
+        else:
+            print(f"# preconditioner {type(mg).__name__} has no levels "
+                  "to attribute; only timing the full apply", flush=True)
+    steps = getattr(mg, "smoothing_steps", cfg.smoothing_steps)
     total = 0.0
     rows = []
     for i, lvl in enumerate(getattr(mg, "levels", ())):
         n = lvl.a.shape[0]
         x = jnp.ones(n, dtype=jnp.float32)
-        t_a = timed(lvl.a.mv, x, reps)
-        t_s = timed(lvl.smoother.mv, x, reps)
+        t_a = timed(lvl.a, x, reps)
+        t_s = timed(lvl.smoother, x, reps)
         t_p = t_r = 0.0
         if lvl.p is not None:
             nc = lvl.p.shape[1]
             xc = jnp.ones(nc, dtype=jnp.float32)
-            t_p = timed(lvl.p.mv, xc, reps)
-            t_r = timed(lvl.r.mv, x, reps)
+            t_p = timed(lvl.p, xc, reps)
+            t_r = timed(lvl.r, x, reps)
+        a_l = lvl.a
+        inner = getattr(a_l, "ell", a_l)
+        fmt = type(inner).__name__
+        well = getattr(a_l, "well", None)
+        if well is not None:
+            fmt += f"+{type(well).__name__}(mv)"
+        nnz = getattr(getattr(a_l, "csr", None), "nnz", None)
         rows.append((i, n, t_a, t_s, t_p, t_r))
-        # per V-cycle: 2 smoother applies (pre+post), 1 residual A·x,
-        # 1 R, 1 P per level with a coarser level below
-        total += 2 * t_s + (t_a + t_p + t_r if lvl.p is not None else 0)
-        print(f"# level {i} n={n}: A.mv {t_a*1e3:8.3f}ms  "
+        # per V-cycle with ``steps`` pre+post smoothing sweeps: each
+        # sweep is one M⁻¹ apply plus one residual A·x (Multigrid._smooth
+        # computes f − A·v per step), plus the restriction residual —
+        # (2·steps + 1) A·x total; the zero-initial-guess pre-smooth's
+        # A·0 is assumed NOT dead-code-eliminated (scan carries make it
+        # live), which slightly over-counts if XLA drops it
+        total += 2 * steps * t_s + (
+            (2 * steps + 1) * t_a + t_p + t_r if lvl.p is not None else 0
+        )
+        print(f"# level {i} n={n} fmt={fmt}: A.mv {t_a*1e3:8.3f}ms  "
               f"smoother {t_s*1e3:8.3f}ms  P {t_p*1e3:8.3f}ms  "
               f"R {t_r*1e3:8.3f}ms", flush=True)
     cs = getattr(mg, "coarse_solver", None)
     if cs is not None:
         n = cs.shape[0]
-        t_c = timed(cs.mv, jnp.ones(n, dtype=jnp.float32), reps)
+        t_c = timed(cs, jnp.ones(n, dtype=jnp.float32), reps)
         total += t_c
         print(f"# coarse solve n={n}: {t_c*1e3:.3f}ms", flush=True)
-    t_full = timed(mg.mv, jnp.ones(mg.shape[0], dtype=jnp.float32), reps)
+    t_full = timed(mg, jnp.ones(mg.shape[0], dtype=jnp.float32), reps)
     print(f"# sum-of-components estimate {total*1e3:.2f}ms vs full "
           f"V-cycle {t_full*1e3:.2f}ms", flush=True)
 

@@ -94,6 +94,8 @@ def _kernel(
     sel_g: int = 0,
     sel_p4: int = 0,
     sel_p2: int = 0,
+    compact: bool = False,
+    g_rows: int = 0,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -173,7 +175,11 @@ def _kernel(
     # pass sel_g = bpv so the first branch covers every lane)
     half = max(blk // 2, 1)
     quart = max(blk // 4, 1)
-    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 0)
+    # compact mode widens the reduce output to a full 128 lanes (same
+    # MXU tile count) so the row-major compaction below can gather from
+    # (8, 128)-shaped cm slices
+    cmw = LANES if compact else bpv
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, cmw), 0)
     full_end = (sel_g + sel_p4) * blk
     half_end = full_end + sel_p2 * half
     col = jnp.where(
@@ -190,7 +196,7 @@ def _kernel(
         ),
     )
     mblk = (
-        col == jax.lax.broadcasted_iota(jnp.int32, (LANES, bpv), 1)
+        col == jax.lax.broadcasted_iota(jnp.int32, (LANES, cmw), 1)
     ).astype(cdt)
     cm = jnp.dot(
         cbuf[:], mblk, preferred_element_type=cdt,
@@ -202,13 +208,57 @@ def _kernel(
         # the flagged overflow blocks (6 rts bits per round), no route
         # gather.  Overflow lanes are never merge targets, so rounds
         # read from untouched tail lanes regardless of order.
+        if compact and rts.shape[1] < cmw:
+            rts = jnp.pad(rts, ((0, 0), (0, cmw - rts.shape[1])))
         for k in range(merge_rounds):
             fld = rts >> (7 * k)
             ov = _taa_lane(cm, fld & 63)
             cm = cm + jnp.where(
                 (fld >> 6) & 1 != 0, ov, jnp.zeros_like(cm)
             )
-        y_ref[0] = cm
+        if compact:
+            # ---- in-kernel row-major compaction -----------------------
+            # cm holds row r = m*g + j at (m, j).  Key identity: after a
+            # per-row lane ROTATION rot[m, l] = cm[m, (l - m*g) mod 128],
+            # the value for output position p = m*g + j sits at exactly
+            # (row p//g, lane p%128) — p - g*(p//g) = p%g < g, so the
+            # rotated read is always a real primary column.  One lane
+            # gather performs every row's rotation at once; the row-major
+            # (out_rows, 128) chunks then need only masked SUBLANE
+            # gathers (the lane is already correct), replacing the
+            # measured ~70 us XLA slice+relayout of the padded block
+            # layout (plus its 128-lane-padded HBM round trip).
+            li_f = jax.lax.broadcasted_iota(jnp.int32, (mrows, LANES), 1)
+            mi_f = jax.lax.broadcasted_iota(jnp.int32, (mrows, LANES), 0)
+            rot = _taa_lane(cm, (li_f - mi_f * g_rows) & (LANES - 1))
+            out_rows = mrows * g_rows // LANES
+            # the per-slot row map m = s//g is a compile-time function
+            # built from iotas (kernels cannot capture array constants);
+            # s < 8192 and g <= 32 are exact in f32, and the +0.5 keeps
+            # the floor clear of rounding boundaries
+            si8 = (
+                jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            )
+            for c in range(out_rows // 8):
+                lo_s = c * 8 * LANES
+                m0 = (lo_s // g_rows) & ~7
+                ngr = ((lo_s + 8 * LANES - 1) // g_rows - m0) // 8 + 1
+                mi = jnp.floor(
+                    ((si8 + lo_s).astype(jnp.float32) + 0.5)
+                    * (1.0 / g_rows)
+                ).astype(jnp.int32)
+                acc = jnp.zeros((8, LANES), dtype=cdt)
+                for gi2 in range(ngr):
+                    lo = m0 + 8 * gi2
+                    sub = rot[lo : lo + 8, :]
+                    val = _taa_sub(sub, jnp.clip(mi - lo, 0, 7))
+                    acc = jnp.where(
+                        (mi >= lo) & (mi < lo + 8), val, acc
+                    )
+                y_ref[0, c * 8 : (c + 1) * 8, :] = acc
+        else:
+            y_ref[0] = cm
     else:
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (mrows, bpv), 1)
         for k in range(merge_rounds):
@@ -235,6 +285,8 @@ def _kernel(
         "sel_g",
         "sel_p4",
         "sel_p2",
+        "compact",
+        "g_rows",
         "interpret",
     ),
 )
@@ -261,12 +313,15 @@ def _well_spmv_call(
     sel_g: int = 0,
     sel_p4: int = 0,
     sel_p2: int = 0,
+    compact: bool = False,
+    g_rows: int = 0,
     interpret: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
     n_tiles = data.shape[0]
     mrows = vregs * TABLE_ROWS
+    out_rows = mrows * g_rows // LANES if compact else 0
 
     def block(shape):
         return pl.BlockSpec(
@@ -303,7 +358,9 @@ def _well_spmv_call(
         ]
         + ex_specs
         + [x_spec],
-        out_specs=block((mrows, bpv)),
+        out_specs=block(
+            (out_rows, LANES) if compact else (mrows, bpv)
+        ),
         scratch_shapes=[
             pltpu.VMEM((mrows, LANES), cdt),  # cbuf
             pltpu.VMEM((TABLE_ROWS, LANES), cdt),  # table_s
@@ -329,6 +386,8 @@ def _well_spmv_call(
         sel_g=sel_g,
         sel_p4=sel_p4,
         sel_p2=sel_p2,
+        compact=compact,
+        g_rows=g_rows,
     )
     nnz_slots = data.size
     # The package enables jax x64 globally (f64 host numerics); Mosaic
@@ -338,7 +397,11 @@ def _well_spmv_call(
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, mrows, bpv), cdt),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, out_rows, LANES) if compact
+                else (n_tiles, mrows, bpv),
+                cdt,
+            ),
             grid_spec=grid_spec,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
@@ -449,7 +512,10 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
         er = np.asarray(well.extra_rows)[np.asarray(well.extra_seg)]
         ec = np.asarray(well.extra_cols)
         ev = np.asarray(well.extra_vals)
-        gg = well.rows_per_vrow
+        # patch position of row r in the 2-D out view: row-major
+        # (n2d_out, 128) chunks under compact, (vreg-row, lane) blocks
+        # otherwise
+        gg = LANES if well.compact else well.rows_per_vrow
         kpad = -(-len(ec) // LANES) * LANES
         stray = (
             jnp.asarray(er // gg, jnp.int32),
@@ -478,11 +544,15 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             sel_g=sel_g,
             sel_p4=sel_p4,
             sel_p2=sel_p2,
+            compact=well.compact,
+            g_rows=well.rows_per_vrow,
             interpret=interp,
         )
         if stray is not None:
             exm, exj, excr, excl, vals2, kn = stray
-            o2 = out.reshape(-1, well.out_cols)
+            o2 = out.reshape(
+                -1, LANES if well.compact else well.out_cols
+            )
             o2 = _stray_patch_call(
                 exm, exj, excr, excl, vals2, o2, args[-1],
                 n_stray=kn, interpret=interp,
@@ -513,12 +583,17 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
         )
     else:
         out = call(bool(interpret), *operands)
-    # (T, vregs*8, B) → row-major rows; each vreg-row's first
-    # rows_per_vrow lanes are real rows
-    g = well.rows_per_vrow
-    y = out.reshape(-1, well.out_cols)[:, :g].reshape(-1)[
-        : well.shape[0]
-    ]
+    if well.compact:
+        # kernel emitted row-major (T, out_rows, 128) chunks: the ravel
+        # is a free view and the [:n] slice fuses into the consumer
+        y = out.reshape(-1)[: well.shape[0]]
+    else:
+        # (T, vregs*8, B) → row-major rows; each vreg-row's first
+        # rows_per_vrow lanes are real rows
+        g = well.rows_per_vrow
+        y = out.reshape(-1, well.out_cols)[:, :g].reshape(-1)[
+            : well.shape[0]
+        ]
     if well.extra_cols.size and stray is None:
         contrib = well.extra_vals * x[well.extra_cols]
         # extras were deduped by row at build time: segment-sum the

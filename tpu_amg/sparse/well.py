@@ -255,6 +255,16 @@ class WELL:
     bcols: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # compact output layout (idroute only): the kernel compacts the
+    # (M, bcols) reduce result to row-major (M*g/128, 128) chunks
+    # on-chip (static two-step gathers), so y = out.ravel()[:n] is a
+    # free view instead of the measured ~70 us XLA slice+relayout of
+    # the padded block layout (MEASURED.md round-4 glue budget).
+    # Requires (vregs*8*g) % 1024 == 0 (the g-selection loop enforces
+    # it when compact is requested).
+    compact: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     block_size: int = dataclasses.field(
         default=1, metadata=dict(static=True)
     )
@@ -309,7 +319,8 @@ class WELL:
             f"WELL(shape={self.shape}, nnz={self.nnz}, slots={slots} "
             f"(x{slots / max(self.nnz, 1):.2f}), block={self.block}, "
             f"groups={self.n_groups}, passes={self.n_passes}, "
-            f"extras={self.n_extras}, dtype={self.dtype})"
+            f"extras={self.n_extras}, compact={self.compact}, "
+            f"dtype={self.dtype})"
         )
 
     # ------------------------------------------------------------------
@@ -325,6 +336,7 @@ class WELL:
         rows_per_vrow: int | None = None,
         idroute: bool | None = None,
         inkernel_extras: bool = True,
+        compact: bool | None = None,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
@@ -343,7 +355,7 @@ class WELL:
                         max_passes=max_passes, max_span_rows=max_span_rows,
                         max_spill_frac=max_spill_frac,
                         rows_per_vrow=rows_per_vrow, idroute=idroute,
-                        inkernel_extras=inkernel_extras,
+                        inkernel_extras=inkernel_extras, compact=compact,
                     )
                 except WellUnsupported as e:
                     err = e
@@ -378,52 +390,81 @@ class WELL:
 
         # ---- choose rows_per_vrow: largest g whose per-group block
         # demand fits the bpv budget with tiny spill ------------------
+        # compact output (see the ``compact`` field) needs the per-tile
+        # out-slot count (8*vregs*g) to be a whole number of (8, 128)
+        # output vregs; restrict g to multiples of ``align`` when it is
+        # requested (auto for idroute), falling back to a free g (and
+        # the XLA extract) when no aligned g passes the spill test
+        # default OFF: hardware A/B at 1M 2-D (tools/compactbench.py)
+        # measured compact 420.8 us vs legacy 400.7 — the g-alignment
+        # constraint inflated slots x1.25 -> x1.43 (g 23 -> 20) and the
+        # chained-scan protocol overlaps most of the XLA extract the
+        # compaction removes.  Kept as an opt-in for layouts whose g is
+        # naturally aligned.
+        align = max(1024 // (TABLE_ROWS * vregs_per_tile), 1)
+        want_compact = bool(compact) if compact is not None else False
+        use_compact = False
         if rows_per_vrow is not None:
             g = int(rows_per_vrow)
+            use_compact = bool(
+                want_compact and idroute and g % align == 0
+            )
         else:
             g = None
-            for cand in range(bpv, 0, -1):
-                n_groups = -(-n // cand)
-                pad_rows = n_groups * cand - n
-                if idroute:
-                    # run the actual flexible grant: any under-granted
-                    # slot becomes a LEGACY spill (fixed ~160 us XLA
-                    # cost), so require (near-)zero leftovers
-                    tail_c = LANES - block * cand
-                    if tail_c < 0:
+            attempts = []
+            if want_compact and idroute:
+                attempts.append(
+                    (True, [c for c in range(bpv, 0, -1) if c % align == 0])
+                )
+            if compact is not True:
+                attempts.append((False, list(range(bpv, 0, -1))))
+            for _compact_try, _cands in attempts:
+                use_compact = _compact_try
+                for cand in _cands:
+                    n_groups = -(-n // cand)
+                    pad_rows = n_groups * cand - n
+                    if idroute:
+                        # run the actual flexible grant: any under-granted
+                        # slot becomes a LEGACY spill (fixed ~160 us XLA
+                        # cost), so require (near-)zero leftovers
+                        tail_c = LANES - block * cand
+                        if tail_c < 0:
+                            continue
+                        p4_c, p2_c, p1_c = _unit_split_capped(
+                            tail_c, block, cand
+                        )
+                        gids_c = np.arange(n) // cand
+                        _, _, cap_c, _ = _grant_units(
+                            nnz_row, gids_c, n_groups, cand, block,
+                            p4_c, p2_c, p1_c,
+                        )
+                        needs_c = np.clip(
+                            nnz_row - block, 0, MAX_OV_ROUNDS * block
+                        )
+                        over = np.maximum(
+                            block + needs_c - cap_c, 0
+                        ).sum()
+                        # strays ride the on-chip patch kernel
+                        # (~10 VPU ops each); don't shrink g (more slots =
+                        # more stream) to save entries that cost ~nothing
+                        if over <= min(1536, max(64, nnz // 10)):
+                            g = cand
+                            break
                         continue
-                    p4_c, p2_c, p1_c = _unit_split_capped(
-                        tail_c, block, cand
-                    )
-                    gids_c = np.arange(n) // cand
-                    _, _, cap_c, _ = _grant_units(
-                        nnz_row, gids_c, n_groups, cand, block,
-                        p4_c, p2_c, p1_c,
-                    )
-                    needs_c = np.clip(
-                        nnz_row - block, 0, MAX_OV_ROUNDS * block
-                    )
-                    over = np.maximum(
-                        block + needs_c - cap_c, 0
-                    ).sum()
-                    # strays ride the on-chip patch kernel
-                    # (~10 VPU ops each); don't shrink g (more slots =
-                    # more stream) to save entries that cost ~nothing
-                    if over <= min(1536, max(64, nnz // 10)):
+                    else:
+                        demand = np.concatenate([
+                            np.minimum(nb_full, bpv),
+                            np.zeros(pad_rows, np.int64),
+                        ])
+                        gsum = demand.reshape(n_groups, cand).sum(axis=1)
+                        over = np.maximum(gsum - bpv, 0).sum() * block
+                    if over <= max(max_spill_frac * nnz / 4, 0.0):
                         g = cand
                         break
-                    continue
-                else:
-                    demand = np.concatenate([
-                        np.minimum(nb_full, bpv),
-                        np.zeros(pad_rows, np.int64),
-                    ])
-                    gsum = demand.reshape(n_groups, cand).sum(axis=1)
-                    over = np.maximum(gsum - bpv, 0).sum() * block
-                if over <= max(max_spill_frac * nnz / 4, 0.0):
-                    g = cand
+                if g is not None:
                     break
             if g is None:
+                use_compact = False
                 if idroute:
                     # no g packs every row's overflow — fall back to
                     # the generic merge/route layout
@@ -579,6 +620,17 @@ class WELL:
         np.maximum.at(vmax, pv, pc)
         has_pairs = vmax >= vmin
         qv = np.where(has_pairs, (vmin // LANES) & ~np.int64(7), 0)
+        span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
+        # clamp windows inside ceil8(ncols/128) x2d rows: an 8-aligned
+        # window whose end pokes past the matrix width forces x2d_rows >
+        # ceil(ncols/128), and the resulting jnp.pad of x copies the
+        # ENTIRE vector (~10 us of the 1M mv glue, MEASURED.md round-4
+        # budget).  Shifting a window down keeps coverage (length is
+        # unchanged, vmax//128 < lim) and 8-alignment (lim8 and 8*ng
+        # are both multiples of 8).
+        lim8 = -(-(-(-ncols // LANES)) // 8) * 8
+        ng_pre = (span + 7) // 8
+        qv = np.minimum(qv, np.maximum(lim8 - 8 * ng_pre, 0))
         span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
         if span.max() > min(max_span_rows, 1024):
             raise WellUnsupported(
@@ -880,5 +932,6 @@ class WELL:
             n_ex_groups=int(n_ex_groups),
             idroute=idroute,
             bcols=int(bcols) if idroute else 0,
+            compact=bool(use_compact and idroute),
             block_size=int(getattr(csr, "block_size", 1)),
         )
