@@ -294,7 +294,7 @@ class TestStrayPatch:
             a[i, cols] = rng.standard_normal(len(cols))
         sp = a.tocsr()
         sp.sort_indices()
-        w = WELL.from_csr(CSR.from_scipy(sp), block=4)
+        w = WELL.from_csr(CSR.from_scipy(sp), block=4, idroute=True)
         assert w.idroute
         assert w.n_extras > 0  # strays exist → patch kernel in play
         x = rng.standard_normal(n).astype(np.float32)

@@ -109,6 +109,11 @@ def main():
     hyb = try_hybrid_or_well(a0, dtype=jnp.float32)
     print(f"# fine build {time.perf_counter()-t0:.0f}s: {hyb}", flush=True)
     timed_spec(hyb, x0, reps, label="A0 hybrid       ")
+    t0 = time.perf_counter()
+    hyb_l = try_hybrid_or_well(a0, dtype=jnp.float32, idroute=False)
+    print(f"# fine legacy build {time.perf_counter()-t0:.0f}s: {hyb_l}",
+          flush=True)
+    timed_spec(hyb_l, x0, reps, label="A0 hybrid legacy")
 
     # ---- level-1 operator (RCM'd, as the builder does) ----------------
     perm1 = block_rcm_permutation(a1)

@@ -194,10 +194,24 @@ def _pick_format(
         )
 
     def try_well():
-        if not prefer_well or not csr.is_square:
+        if not prefer_well:
             return None
         from tpu_amg.sparse.hybrid import try_hybrid_or_well
 
+        if not csr.is_square:
+            # rectangular grid transfers: nothing in the WELL layout
+            # requires squareness (round-5 probe: the 1.03M x 159k 3-D
+            # prolongation ran 3.5 ms as rect-WELL vs 24.3 ms as the
+            # banded slabs the builder used before, and the 159k x 1.03M
+            # restriction as P^T-through-slabs cost 52.9 ms)
+            from tpu_amg.sparse.well import WELL, WellUnsupported
+
+            mean = csr.nnz / max(csr.nrows, 1)
+            blk = 4 if mean <= 6.0 else (8 if mean <= 20.0 else 16)
+            try:
+                return WELL.from_csr(csr, dtype=dtype, block=blk)
+            except (WellUnsupported, ValueError):
+                return None
         # hybrid DIA+WELL split when the diagonal mass supports it
         # (sparse/hybrid.py), plain WELL otherwise
         return try_hybrid_or_well(csr, dtype=dtype)
@@ -217,6 +231,10 @@ def _pick_format(
         and ell_padded > 3.0 * csr.nnz
         and mean_nnz >= 2.0
         and (well is None or not csr.is_square)
+        # rectangular operators with a WELL mv-sidecar still build the
+        # slab form: it is the multi-vector (mm/rmv) carrier, and the
+        # ELL alternative for hub-row transfers is memory-hostile
+        # (k = max row nnz pads the whole operator)
     )
     if csr.is_square and well is not None and mean_nnz >= 24.0:
         # Square unstructured mid levels (Galerkin coarse operators of
@@ -290,7 +308,9 @@ def _pick_format(
                 slots = int(np.prod(banded_mat.slabs.shape))
             if slots > 3.0 * max(csr.nnz, 1):
                 return banded_mat, well
-        return banded_mat, None
+            return banded_mat, None
+        # rectangular: slabs carry mm/rmv, the rect-WELL carries mv
+        return banded_mat, well
 
     if well is None and csr.block_size > 1 and csr.is_square:
         from tpu_amg.sparse.bsr import BSR

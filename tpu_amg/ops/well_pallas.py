@@ -78,6 +78,7 @@ def _kernel(
     # scalar prefetch
     q_ref,
     qv_ref,
+    ngv_ref,
     exq_ref,
     # blocked inputs (leading tile axis of size 1); ex_* present only
     # when n_ex_groups > 0
@@ -146,6 +147,13 @@ def _kernel(
                 return x_ref[0, pl.ds(qv + gi * 8, 8), :]
 
         # ---- stage A: dedup table (masked sublane gathers) -----------
+        # static unrolled loop over the GLOBAL group count; the format
+        # build soft-caps max(ng) near the typical span so no boundary
+        # outlier sets every vreg's stage-A program length
+        # (sparse/well.py).  Rejected on hardware (round 5): a dynamic
+        # per-vreg lax.fori_loop trip count (scalar-prefetched ngv)
+        # cost ~20+ cycles/iteration of loop overhead — the 1M 3-D
+        # fine SpMV went 3.6 -> 10.4 ms even with 12% fewer slots.
         table_s[:] = jnp.zeros((TABLE_ROWS, LANES), dtype=cdt)
         for gi in range(n_groups):
             part = _taa_sub(win_slice(gi), eta)
@@ -293,6 +301,7 @@ def _kernel(
 def _well_spmv_call(
     q,
     qv,
+    ngv,
     exq,
     data,
     w,
@@ -326,7 +335,8 @@ def _well_spmv_call(
     def block(shape):
         return pl.BlockSpec(
             (1,) + shape,
-            lambda t, q_ref, qv_ref, exq_ref: (t,) + (0,) * len(shape),
+            lambda t, q_ref, qv_ref, ngv_ref, exq_ref: (t,)
+            + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
@@ -349,7 +359,7 @@ def _well_spmv_call(
         [block((TABLE_ROWS, LANES))] if n_ex_groups else []  # ex_tw
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             block((mrows, LANES)),  # data
@@ -414,7 +424,7 @@ def _well_spmv_call(
                 transcendentals=0,
             ),
         )(
-            q, qv, exq, data, w, rts,
+            q, qv, ngv, exq, data, w, rts,
             *((ex_tw,) if n_ex_groups else ()),
             x_arg,
         )
@@ -491,12 +501,17 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
         x_mode = "resident" if x_bytes <= cap_mb * 1e6 else "blocked"
 
     if well.idroute and well.bcols:
-        from tpu_amg.sparse.well import _unit_split_capped
-
         sel_g = well.rows_per_vrow
-        sel_p4, sel_p2, _ = _unit_split_capped(
-            LANES - well.block * sel_g, well.block, sel_g
-        )
+        if well.up4 >= 0:
+            sel_p4, sel_p2 = well.up4, well.up2
+        else:
+            # pre-round-5 layouts: the split is a pure function of
+            # (tail, block, g)
+            from tpu_amg.sparse.well import _unit_split_capped
+
+            sel_p4, sel_p2, _ = _unit_split_capped(
+                LANES - well.block * sel_g, well.block, sel_g
+            )
     else:
         sel_g, sel_p4, sel_p2 = well.blocks_per_vrow, 0, 0
 
@@ -562,13 +577,13 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
 
     if well.n_ex_groups:
         operands = (
-            well.q, well.qv, well.ex_q, well.data, well.w, well.rts,
-            well.ex_tw, x2d,
+            well.q, well.qv, well.ngv, well.ex_q, well.data, well.w,
+            well.rts, well.ex_tw, x2d,
         )
     else:
         operands = (
-            well.q, well.qv, jnp.zeros_like(well.q), well.data,
-            well.w, well.rts, jnp.zeros((0,), jnp.int32), x2d,
+            well.q, well.qv, well.ngv, jnp.zeros_like(well.q),
+            well.data, well.w, well.rts, jnp.zeros((0,), jnp.int32), x2d,
         )
     if interpret is None:
         # decide per lowering platform, not per global device list: a

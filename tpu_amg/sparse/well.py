@@ -113,6 +113,39 @@ def _unit_split_capped(tail: int, block: int, g: int):
     return p4, p2, p1
 
 
+def _unit_split_demand(tail: int, block: int, g: int, nnz_row, n_groups):
+    """Demand-proportional unit split: allocate full/half/quarter tail
+    units from the actual per-row overflow distribution instead of the
+    fixed thirds heuristic.  The thirds split is tuned for block-4
+    hybrid remainders (~1 slot of overflow per needy row); on block-8
+    dense rows (3-D Galerkin levels at 12-40 nnz/row) it grants 2 full
+    units per group where the demand is ~5, so every g-candidate fails
+    the spill test and the layout degenerates (measured x10.11 slots at
+    g=1 on the 1M 3-D fine level)."""
+    half = block // 2
+    quart = max(block // 4, 1)
+    need = np.clip(np.asarray(nnz_row) - block, 0, MAX_OV_ROUNDS * block)
+    nf = need // block
+    rem = need - nf * block
+    nh = rem // half
+    rem2 = rem - nh * half
+    nq = -(-rem2 // quart)
+    gf = nf.sum() / max(n_groups, 1)
+    gh = nh.sum() / max(n_groups, 1)
+    gq = nq.sum() / max(n_groups, 1)
+    # 20% headroom + 1 absorbs per-group variance; grant full units
+    # first (a starved full-unit class cannot be patched by quarters
+    # within the MAX_OV_ROUNDS budget)
+    p4 = max(min(int(np.ceil(gf * 1.2 + 1)), tail // block, 64 - g), 0)
+    rem_t = tail - p4 * block
+    p2 = max(
+        min(int(np.ceil(gh * 1.2 + 1)), rem_t // half, 64 - g - p4), 0
+    )
+    rem_t -= p2 * half
+    p1 = max(min(rem_t // quart, 64 - g - p4 - p2), 0)
+    return p4, p2, p1
+
+
 def _grant_units(nnz_row, grp_ids, n_groups, g, block, p4, p2, p1):
     """Flexible per-row overflow-unit grants for the identity-route
     layout: each row takes the largest-fitting units first and falls
@@ -215,6 +248,11 @@ class WELL:
 
     q: jax.Array
     qv: jax.Array
+    # per-vreg group count (stage A trip count): 3-D RCM bands give a
+    # mean span of ~24 window groups with boundary outliers at ~118;
+    # looping the global max for every vreg (round-4 kernel) cost the
+    # 1M 3-D fine SpMV ~2 ms of masked gathers over empty groups
+    ngv: jax.Array
     gt: jax.Array
     pt: jax.Array
     data: jax.Array
@@ -265,6 +303,12 @@ class WELL:
     compact: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # identity-route tail-unit split of record (-1 = derive the legacy
+    # thirds split from (tail, block, g)); the kernel's static reduce
+    # selector must see exactly the split the layout was built with
+    up4: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    up2: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    up1: int = dataclasses.field(default=-1, metadata=dict(static=True))
     block_size: int = dataclasses.field(
         default=1, metadata=dict(static=True)
     )
@@ -337,6 +381,7 @@ class WELL:
         idroute: bool | None = None,
         inkernel_extras: bool = True,
         compact: bool | None = None,
+        unit_split: tuple | None = None,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
@@ -356,11 +401,12 @@ class WELL:
                         max_spill_frac=max_spill_frac,
                         rows_per_vrow=rows_per_vrow, idroute=idroute,
                         inkernel_extras=inkernel_extras, compact=compact,
+                        unit_split=unit_split,
                     )
                 except WellUnsupported as e:
                     err = e
             raise err
-        assert block in (4, 8) and max_passes <= MAX_PASSES
+        assert block in (4, 8, 16) and max_passes <= MAX_PASSES
         bpv = LANES // block  # blocks per vreg-row
         n, ncols = csr.shape
         indptr = np.asarray(csr.indptr, dtype=np.int64)
@@ -381,12 +427,28 @@ class WELL:
         # per block-elem instead of ~13; the round-4 reduce attribution
         # showed the dynamic-lane merge/route chain dominating the
         # block=4 kernel) -----------------------------------------------
+        idroute_forced = idroute is not None
         if idroute is None:
             over_cap = np.maximum(
                 nnz_row - (1 + MAX_OV_ROUNDS) * block, 0
             ).sum()
             idroute = bool(over_cap <= 0.25 * max_spill_frac * nnz)
         idroute = bool(idroute)
+
+        # stage-A work estimate for the g cost model: the kernel spends
+        # ~0.6 bytes-of-stream-equivalent per slot per window group
+        # (one masked sublane gather per 8 window rows per vreg), and a
+        # 3-D RCM band reaches ~110 groups — an op bill ~9x the 8 B
+        # slot stream that the g choice must price in
+        if nnz:
+            off_sc = np.abs(
+                indices - (rows_of * np.int64(ncols)) // max(n, 1)
+            )
+            bw_est = 2.0 * float(np.percentile(off_sc, 99))
+        else:
+            bw_est = 0.0
+        ng_est = min(bw_est / (8 * LANES) + 1.0, 128.0)
+        vpu_per_slot = 0.59 * (ng_est + 16.0)
 
         # ---- choose rows_per_vrow: largest g whose per-group block
         # demand fits the bpv budget with tiny spill ------------------
@@ -404,6 +466,7 @@ class WELL:
         align = max(1024 // (TABLE_ROWS * vregs_per_tile), 1)
         want_compact = bool(compact) if compact is not None else False
         use_compact = False
+        g_split = tuple(unit_split) if unit_split is not None else None
         if rows_per_vrow is not None:
             g = int(rows_per_vrow)
             use_compact = bool(
@@ -424,32 +487,64 @@ class WELL:
                     n_groups = -(-n // cand)
                     pad_rows = n_groups * cand - n
                     if idroute:
-                        # run the actual flexible grant: any under-granted
-                        # slot becomes a LEGACY spill (fixed ~160 us XLA
-                        # cost), so require (near-)zero leftovers
+                        # COST-based g choice: slot-stream bytes
+                        # (128/g slots per row) vs the spill bill —
+                        # strays ride the on-chip patch kernel (~10 VPU
+                        # ops ≈ 6 KB-of-stream each), overflow beyond
+                        # the stray cap rides the in-kernel extras
+                        # table / XLA path (~170 us ≈ 100 MB-of-stream,
+                        # fixed).  A fixed absolute stray budget here
+                        # (round 4: 1536) made every good g fail at
+                        # 13M-nnz scale — over grows with n — and the
+                        # layout degenerated to g=1 (x10.11 slots
+                        # measured on the 1M 3-D fine level).
                         tail_c = LANES - block * cand
                         if tail_c < 0:
                             continue
-                        p4_c, p2_c, p1_c = _unit_split_capped(
-                            tail_c, block, cand
-                        )
+                        if unit_split is not None:
+                            cand_splits = [tuple(unit_split)]
+                        else:
+                            cand_splits = list(dict.fromkeys([
+                                _unit_split_capped(tail_c, block, cand),
+                                _unit_split_demand(
+                                    tail_c, block, cand, nnz_row,
+                                    n_groups,
+                                ),
+                            ]))
                         gids_c = np.arange(n) // cand
-                        _, _, cap_c, _ = _grant_units(
-                            nnz_row, gids_c, n_groups, cand, block,
-                            p4_c, p2_c, p1_c,
-                        )
                         needs_c = np.clip(
                             nnz_row - block, 0, MAX_OV_ROUNDS * block
                         )
-                        over = np.maximum(
-                            block + needs_c - cap_c, 0
-                        ).sum()
-                        # strays ride the on-chip patch kernel
-                        # (~10 VPU ops each); don't shrink g (more slots =
-                        # more stream) to save entries that cost ~nothing
-                        if over <= min(1536, max(64, nnz // 10)):
-                            g = cand
-                            break
+                        over = None
+                        for sp in cand_splits:
+                            _, _, cap_c, _ = _grant_units(
+                                nnz_row, gids_c, n_groups, cand, block,
+                                *sp,
+                            )
+                            over_c = np.maximum(
+                                block + needs_c - cap_c, 0
+                            ).sum()
+                            if over is None or over_c < over:
+                                over, sp_best = over_c, sp
+                        if over > max(max_spill_frac * nnz, 4096):
+                            continue  # would fail the build spill cap
+                        # spills are expensive however they ride: the
+                        # stray patch kernel is ~10 VPU ops/entry and
+                        # the XLA gather+scatter path ~10 ns/entry —
+                        # both ≈ 6 KB-of-stream equivalent (round-5
+                        # hardware: a g choice carrying 140k no-slot
+                        # spills cost the 1M 3-D fine SpMV ~1.4 ms on
+                        # the XLA path, far above its 15 MB slot saving)
+                        cost_c = (
+                            n_groups * LANES * (8.0 + vpu_per_slot)
+                            + over * 6000.0
+                            # spills beyond the stray-patch cap pay the
+                            # XLA gather/scatter pair's fixed overhead
+                            # on top of the per-entry cost
+                            + (1e8 if over > 4096 else 0.0)
+                        )
+                        if g is None or cost_c < g_cost:
+                            g, g_cost, g_split = cand, cost_c, sp_best
                         continue
                     else:
                         demand = np.concatenate([
@@ -463,6 +558,41 @@ class WELL:
                         break
                 if g is not None:
                     break
+            if (
+                g is not None and idroute and unit_split is None
+                and not idroute_forced
+            ):
+                # compare the best identity-route candidate against a
+                # quick LEGACY-layout estimate: dense-row matrices can
+                # pack tighter with shared multi-block rows than with
+                # per-row overflow units (the 0.8 hysteresis keeps
+                # idroute — cheaper reduce, in-kernel extras — on ties)
+                for cand in range(min(bpv, 16), 0, -1):
+                    n_groups_l = -(-n // cand)
+                    pad_l = n_groups_l * cand - n
+                    demand = np.concatenate([
+                        np.minimum(nb_full, min(bpv, 16)),
+                        np.zeros(pad_l, np.int64),
+                    ])
+                    gsum = demand.reshape(n_groups_l, cand).sum(axis=1)
+                    over_l = np.maximum(gsum - bpv, 0).sum() * block
+                    if over_l <= max(max_spill_frac * nnz / 4, 0.0):
+                        cost_l = (
+                            n_groups_l * LANES * (8.0 + vpu_per_slot)
+                            + over_l * 6000.0
+                        )
+                        if cost_l < 0.8 * g_cost:
+                            return WELL.from_csr(
+                                csr, dtype=dtype,
+                                vregs_per_tile=vregs_per_tile,
+                                block=block, max_passes=max_passes,
+                                max_span_rows=max_span_rows,
+                                max_spill_frac=max_spill_frac,
+                                rows_per_vrow=None, idroute=False,
+                                inkernel_extras=inkernel_extras,
+                                compact=False,
+                            )
+                        break
             if g is None:
                 use_compact = False
                 if idroute:
@@ -507,7 +637,28 @@ class WELL:
             half = block // 2
             quart = max(block // 4, 1)
             tail = LANES - block * g
-            p4, p2, p1 = _unit_split_capped(tail, block, g)
+            if g_split is not None:
+                p4, p2, p1 = g_split
+            else:
+                # forced rows_per_vrow: evaluate both split heuristics
+                # against the actual demand and take the tighter one
+                best = None
+                for sp in dict.fromkeys([
+                    _unit_split_capped(tail, block, g),
+                    _unit_split_demand(
+                        tail, block, g, nnz_row, n_groups_rows
+                    ),
+                ]):
+                    _, _, cap_s, _ = _grant_units(
+                        nnz_row, grp_ids, n_groups_rows, g, block, *sp
+                    )
+                    over_s = np.maximum(
+                        np.minimum(nnz_row, block + MAX_OV_ROUNDS * block)
+                        - cap_s, 0,
+                    ).sum()
+                    if best is None or over_s < best[0]:
+                        best = (over_s, sp)
+                p4, p2, p1 = best[1]
             bcols = g + p4 + p2 + p1
             granted, upos, row_cap, merge_rounds = _grant_units(
                 nnz_row, grp_ids, n_groups_rows, g, block, p4, p2, p1
@@ -606,13 +757,6 @@ class WELL:
         stack[order] = stack_sorted
         pair_ok = stack < TABLE_ROWS
 
-        # entries through dropped pairs spill
-        keep_idx = np.flatnonzero(keep)
-        e_ok = pair_ok[pair_inv]
-        keep[keep_idx[~e_ok]] = False
-        kept_pairs = pair_inv[e_ok]
-        ke = keep_idx[e_ok]  # kept entry indices into the raw COO
-
         # ---- per-vreg windows ----------------------------------------
         vmin = np.full(nv_pad, np.int64(ncols), dtype=np.int64)
         vmax = np.zeros(nv_pad, dtype=np.int64)
@@ -632,12 +776,69 @@ class WELL:
         ng_pre = (span + 7) // 8
         qv = np.minimum(qv, np.maximum(lim8 - 8 * ng_pre, 0))
         span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
-        if span.max() > min(max_span_rows, 1024):
-            raise WellUnsupported(
-                f"vreg column span {int(span.max()) * LANES} exceeds the "
-                f"window cap {min(max_span_rows, 1024) * LANES}; matrix "
-                "too unbanded (RCM it)"
+        cap_hard = min(max_span_rows, 1024)
+        # soft span cap: the kernel's stage-A loop length is the GLOBAL
+        # max group count — boundary outlier vregs (3-D RCM bands: mean
+        # span ~24 groups, outliers ~118) would make EVERY vreg pay
+        # their stage-A program length (~2 ms of gathers over empty
+        # groups at 1M 3-D).  Choose the tightest cap near the typical
+        # span whose spilled entries fit the extras budget; spilled
+        # pairs ride the in-kernel extras table / XLA path.
+        cap = cap_hard
+        if has_pairs.any():
+            spill_budget = max(0.015 * nnz, 4096)
+            quants = [
+                float(np.percentile(span[has_pairs], q))
+                for q in (50, 75, 90, 97, 99.5)
+            ]
+            cand_caps = sorted(dict.fromkeys(
+                int(min(cap_hard, max(8 * -(-int(qv_) // 8), 16)))
+                for qv_ in quants
+            ))
+            for cand_cap in cand_caps:
+                over_c = np.flatnonzero(span > cand_cap)
+                if len(over_c) == 0:
+                    cap = cand_cap
+                    break
+                starts_c = np.searchsorted(pv, over_c)
+                ends_c = np.searchsorted(pv, over_c, side="right")
+                med_c = pc[
+                    np.minimum((starts_c + ends_c) // 2, len(pc) - 1)
+                ]
+                cap8_c = -(-cand_cap // 8) * 8
+                qv_c = np.clip(
+                    (med_c // LANES - cand_cap // 2) & ~np.int64(7),
+                    0, max(lim8 - cap8_c, 0),
+                )
+                qq = np.full(nv_pad, np.int64(-1))
+                qq[over_c] = qv_c
+                relc = pc // LANES - qq[pv]
+                badp = (qq[pv] >= 0) & ((relc < 0) | (relc >= cand_cap))
+                if int(badp[pair_inv].sum()) <= spill_budget:
+                    cap = cand_cap
+                    break
+        over_v = np.flatnonzero(span > cap)
+        if len(over_v):
+            # boundary outlier vregs (e.g. smoothed-SA restriction rows
+            # whose aggregate support jumps the RCM band): place a
+            # median-centered cap-sized window and SPILL the pairs
+            # outside it instead of rejecting the whole matrix —
+            # round-4 behavior killed the 1M 3-D restriction build on
+            # one 459904-column vreg while its mean span was ~3% of
+            # that.  upairs are sorted by (vreg, col), so each vreg's
+            # pairs form a contiguous run and the run middle is its
+            # median column.
+            starts = np.searchsorted(pv, over_v)
+            ends = np.searchsorted(pv, over_v, side="right")
+            med = pc[np.minimum((starts + ends) // 2, len(pc) - 1)]
+            cap8 = -(-cap // 8) * 8
+            qv[over_v] = np.clip(
+                (med // LANES - cap // 2) & ~np.int64(7),
+                0, max(lim8 - cap8, 0),
             )
+            span[over_v] = min(cap, lim8)
+            rel_p = pc // LANES - qv[pv]
+            pair_ok &= (rel_p >= 0) & (rel_p < cap)
         # reject truly unbanded matrices: stage A cost is linear in the
         # vreg span, so a span comparable to the full matrix width means
         # the windowed gather degenerates (the absolute 1024-row cap
@@ -652,6 +853,13 @@ class WELL:
             )
         ng_v = (span + 7) // 8
         NG = int(ng_v.max())
+
+        # entries through dropped pairs spill
+        keep_idx = np.flatnonzero(keep)
+        e_ok = pair_ok[pair_inv]
+        keep[keep_idx[~e_ok]] = False
+        kept_pairs = pair_inv[e_ok]
+        ke = keep_idx[e_ok]  # kept entry indices into the raw COO
 
         # tile window (blocked/dma x modes) + x2d extent
         q_t = qv.reshape(t_count, f).min(axis=1)
@@ -900,6 +1108,7 @@ class WELL:
         return WELL(
             q=jnp.asarray(q_t, dtype=jnp.int32),
             qv=jnp.asarray(qv, dtype=jnp.int32),
+            ngv=jnp.asarray(ng_v, dtype=jnp.int32),
             gt=jnp.asarray(gt, dtype=jnp.int32),
             pt=jnp.asarray(pt, dtype=jnp.int32),
             data=jnp.asarray(
@@ -933,5 +1142,8 @@ class WELL:
             idroute=idroute,
             bcols=int(bcols) if idroute else 0,
             compact=bool(use_compact and idroute),
+            up4=int(p4) if idroute else -1,
+            up2=int(p2) if idroute else -1,
+            up1=int(p1) if idroute else -1,
             block_size=int(getattr(csr, "block_size", 1)),
         )
