@@ -47,8 +47,9 @@ class TestWellCorrectness:
 
     def test_wide_band_multi_group(self):
         # window spans several 8-row groups → exercises stage A masking
+        # (sparse-group layouts compress the span to USED groups)
         w = _check(_random_banded(2000, 400, 4, 9, seed=1))
-        assert w.win_rows > 8
+        assert w.n_groups >= 2 or w.win_rows > 8
 
     def test_heavy_rows_merge(self):
         # rows up to 30 nnz → multi-block rows and >1 merge round
@@ -79,6 +80,9 @@ class TestWellCorrectness:
         assert w.n_extras > 0
 
     def test_unbanded_rejected(self):
+        # the contiguous-window (dense) layout must reject full-range
+        # scatter; the sparse-group layout HANDLES this matrix (59 used
+        # 8-row groups over a 469-row x2d) and must produce correct y
         rng = np.random.default_rng(5)
         n, nnz = 60000, 300000
         i = rng.integers(0, n, nnz)
@@ -86,7 +90,15 @@ class TestWellCorrectness:
         m = sps.coo_matrix((np.ones(nnz), (i, j)), shape=(n, n)).tocsr()
         m.sum_duplicates()
         with pytest.raises(WellUnsupported):
-            WELL.from_csr(CSR.from_scipy(m))
+            WELL.from_csr(CSR.from_scipy(m), sparse_groups=False)
+        w = WELL.from_csr(CSR.from_scipy(m))
+        assert w.sparse_groups
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(w.mv(np.asarray(x)))
+        ref = m @ x
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=2e-5 * np.abs(ref).max()
+        )
 
 
 class TestWellModes:
@@ -155,7 +167,16 @@ class TestWellModes:
         # i.e. rho is consulted at the TABLE lane, not the slot lane
         trow = rho[v_idx, np.minimum(pid, well.n_passes - 1), s_idx, lam]
         wrow = amap[v_idx, trow, lam]
-        col = (qv[:, None, None] + wrow) * 128 + lam
+        if well.sparse_groups:
+            # sparse window groups: amap = (used-group ordinal << 3) |
+            # row-in-group; the per-vreg gmap list maps ordinals to
+            # absolute x2d groups
+            ngs = np.asarray(well.gmap).shape[2] // well.vregs_per_tile
+            gm = np.asarray(well.gmap).astype(np.int64).reshape(-1, ngs)
+            abs_row = gm[v_idx, wrow >> 3] * 8 + (wrow & 7)
+            col = abs_row * 128 + lam
+        else:
+            col = (qv[:, None, None] + wrow) * 128 + lam
         if well.n_ex_groups:
             # pass id 3 = in-kernel extras: sigma (word bits 18-20 at
             # the table position) indexes the per-TILE extras table

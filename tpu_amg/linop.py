@@ -207,9 +207,17 @@ def _pick_format(
             from tpu_amg.sparse.well import WELL, WellUnsupported
 
             mean = csr.nnz / max(csr.nrows, 1)
-            blk = 4 if mean <= 6.0 else (8 if mean <= 20.0 else 16)
+            blk = 4 if mean <= 6.0 else 8
             try:
-                return WELL.from_csr(csr, dtype=dtype, block=blk)
+                # smoothed-SA restrictions carry hub rows (aggregate
+                # supports to ~320 nnz) past any WELL row capacity
+                # (<=128 slots); let the tails spill to the row-gather
+                # extras path instead of rejecting the whole operator —
+                # the alternative is ~27 ms of x15 slabs per apply
+                # (round-5 attribution, level-0 R at 1M 3-D)
+                return WELL.from_csr(
+                    csr, dtype=dtype, block=blk, max_spill_frac=0.06
+                )
             except (WellUnsupported, ValueError):
                 return None
         # hybrid DIA+WELL split when the diagonal mass supports it
@@ -245,8 +253,14 @@ def _pick_format(
         # the round-4 1M V-cycle burned >=90 of its 100 ms in two
         # slab-formatted mid levels holding 28% of the fine nnz
         # (VERDICT r4 weak #1).  ELL stays as the multi-vector/setup
-        # carrier; mv takes the WELL sidecar.
-        return ELL.from_csr(csr, dtype=dtype), well
+        # carrier; mv takes the WELL sidecar.  Giant levels skip the
+        # ELL carrier (k = max row nnz pads it to ~GB at the 50M-nnz
+        # elasticity fine level — an HBM term that pushed the 1M
+        # elasticity solve 160 MB past device memory) and let the
+        # hybrid serve mm/rmv itself.
+        if csr.nnz <= 20_000_000:
+            return ELL.from_csr(csr, dtype=dtype), well
+        return well, well
     if (mean_nnz >= 24.0 or gather_hostile) and csr.nnz > 0:
         from tpu_amg.sparse.banded import BandedDense, BandedUnsupported
 

@@ -97,15 +97,17 @@ def _kernel(
     sel_p2: int = 0,
     compact: bool = False,
     g_rows: int = 0,
+    sparse_groups: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
     if n_ex_groups:
-        (data_ref, w_ref, rts_ref, ex_tw_ref, x_ref, y_ref, cbuf,
-         table_s, gath_s, ext_s) = refs
+        (data_ref, w_ref, rts_ref, gmap_ref, ex_tw_ref, x_ref, y_ref,
+         cbuf, table_s, gath_s, ext_s) = refs
     else:
-        (data_ref, w_ref, rts_ref, x_ref, y_ref, cbuf, table_s,
-         gath_s) = refs
+        (data_ref, w_ref, rts_ref, gmap_ref, x_ref, y_ref, cbuf,
+         table_s, gath_s) = refs
+    ngs = gmap_ref.shape[2] // vregs
     t = pl.program_id(0)
     cdt = x_ref.dtype  # compute dtype (data may be a bf16 stream)
     mrows = vregs * TABLE_ROWS
@@ -134,7 +136,15 @@ def _kernel(
         amap = (w >> 21) & 1023
         eta = amap & 7
         grp = amap >> 3
-        if x_mode == "resident":
+        if sparse_groups:
+            # per-vreg USED-group list (SMEM-blocked): stage A gathers
+            # only the 8-row x2d groups this vreg touches — no
+            # contiguous-span cap, no empty-group sweeps (round 5)
+            def win_slice(gi, f=f):
+                ag = gmap_ref[0, 0, f * ngs + gi]
+                return x_ref[pl.ds(pl.multiple_of(ag * 8, 8), 8), :]
+
+        elif x_mode == "resident":
             qv = pl.multiple_of(qv_ref[t * vregs + f], 8)
 
             def win_slice(gi, qv=qv):
@@ -295,6 +305,7 @@ def _kernel(
         "sel_p2",
         "compact",
         "g_rows",
+        "sparse_groups",
         "interpret",
     ),
 )
@@ -306,6 +317,7 @@ def _well_spmv_call(
     data,
     w,
     rts,
+    gmap,
     ex_tw,
     x2d,
     *,
@@ -324,6 +336,7 @@ def _well_spmv_call(
     sel_p2: int = 0,
     compact: bool = False,
     g_rows: int = 0,
+    sparse_groups: bool = False,
     interpret: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
@@ -365,6 +378,14 @@ def _well_spmv_call(
             block((mrows, LANES)),  # data
             block((mrows, LANES)),  # w
             block((mrows, bpv)),  # rts
+            # per-tile sparse-group lists: scalar-read per (vreg, gi).
+            # (T, 1, F*ngs) so the last two block dims equal the array
+            # dims — the Mosaic block-shape divisibility rule
+            pl.BlockSpec(
+                (1, 1, gmap.shape[2]),
+                lambda t, q_ref, qv_ref, ngv_ref, exq_ref: (t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ]
         + ex_specs
         + [x_spec],
@@ -398,6 +419,7 @@ def _well_spmv_call(
         sel_p2=sel_p2,
         compact=compact,
         g_rows=g_rows,
+        sparse_groups=sparse_groups,
     )
     nnz_slots = data.size
     # The package enables jax x64 globally (f64 host numerics); Mosaic
@@ -424,7 +446,7 @@ def _well_spmv_call(
                 transcendentals=0,
             ),
         )(
-            q, qv, ngv, exq, data, w, rts,
+            q, qv, ngv, exq, data, w, rts, gmap,
             *((ex_tw,) if n_ex_groups else ()),
             x_arg,
         )
@@ -492,6 +514,9 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
     cdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     xp = jnp.pad(x.astype(cdt), (0, n2d * LANES - x.shape[0]))
     x2d = xp.reshape(n2d, LANES)
+    if getattr(well, "sparse_groups", False):
+        # sparse-group starts index the whole x2d — resident only
+        x_mode = "resident"
     if x_mode is None:
         # keep x2d whole in VMEM when it fits alongside the slab
         # pipeline (kills the XLA window pre-gather AND runs the kernel
@@ -561,6 +586,7 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             sel_p2=sel_p2,
             compact=well.compact,
             g_rows=well.rows_per_vrow,
+            sparse_groups=well.sparse_groups,
             interpret=interp,
         )
         if stray is not None:
@@ -575,15 +601,19 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             out = o2.reshape(out.shape)
         return out
 
+    gmap = well.gmap
+    if gmap is None:
+        gmap = jnp.zeros((well.q.shape[0], 1, 1), jnp.int32)
     if well.n_ex_groups:
         operands = (
             well.q, well.qv, well.ngv, well.ex_q, well.data, well.w,
-            well.rts, well.ex_tw, x2d,
+            well.rts, gmap, well.ex_tw, x2d,
         )
     else:
         operands = (
             well.q, well.qv, well.ngv, jnp.zeros_like(well.q),
-            well.data, well.w, well.rts, jnp.zeros((0,), jnp.int32), x2d,
+            well.data, well.w, well.rts, gmap,
+            jnp.zeros((0,), jnp.int32), x2d,
         )
     if interpret is None:
         # decide per lowering platform, not per global device list: a
@@ -610,7 +640,15 @@ def well_spmv(well, x: jax.Array, interpret=None, x_mode=None):
             : well.shape[0]
         ]
     if well.extra_cols.size and stray is None:
-        contrib = well.extra_vals * x[well.extra_cols]
+        # x[extra_cols] as a scalarized element gather measured
+        # ~16 ns/entry (~2 ms at the 1M 3-D fine level's 126k spills);
+        # a 512 B x2d ROW gather + vectorized lane select is
+        # stream-bound instead
+        rows_e = jax.lax.div(well.extra_cols, jnp.int32(LANES))
+        lanes_e = jax.lax.rem(well.extra_cols, jnp.int32(LANES))
+        xr = jnp.take(x2d, rows_e, axis=0)
+        xv = jnp.take_along_axis(xr, lanes_e[:, None], axis=1)[:, 0]
+        contrib = well.extra_vals * xv
         # extras were deduped by row at build time: segment-sum the
         # per-entry products, then a sorted+unique scatter-add (XLA's
         # fast path; the general scatter-add dominated the glue time)

@@ -443,7 +443,7 @@ class HaloWELL:
         if block is None:
             # same adaptive lane-block rule as the single-chip builders
             mean = csr.nnz / max(nrows, 1)
-            block = 4 if mean <= 6.0 else (8 if mean <= 20.0 else 16)
+            block = 4 if mean <= 6.0 else 8
         rows = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(indptr))
         window_start = (rows // n_loc) * n_loc
         offset = indices - window_start  # want [-halo, n_loc + halo)
@@ -495,6 +495,10 @@ class HaloWELL:
                 inkernel_extras=True,
                 max_spill_frac=0.08,
                 unit_split=split_common,
+                # stacked shards share one static kernel; the sparse
+                # window-group lists are per-shard x2d-absolute and are
+                # not carried through the halo stacking yet
+                sparse_groups=False,
             )
             if g_common is None:
                 g_common = wl.rows_per_vrow
@@ -767,9 +771,7 @@ class HaloHybrid:
         mean_rest = rest.nnz / max(n, 1)
         hw = HaloWELL.from_csr(
             rest, mesh, axis, dtype=dtype,
-            block=4 if mean_rest <= 8.0 else (
-                8 if mean_rest <= 20.0 else 16
-            ),
+            block=4 if mean_rest <= 8.0 else 8,
         )
         hd = HaloDIA.from_dia(dia, mesh, axis)
         return HaloHybrid(

@@ -73,6 +73,12 @@ class HybridDiaWell:
             )
         return self.mv(x)
 
+    def mm(self, xs: jax.Array) -> jax.Array:
+        return self.__call__(xs)
+
+    def rmv(self, x: jax.Array) -> jax.Array:
+        return self.mv(x)  # symmetric use only
+
     def astype_values(self, dtype) -> "HybridDiaWell":
         """bf16 value streams for both parts (vectors stay f32)."""
         return dataclasses.replace(
@@ -144,7 +150,7 @@ class HybridDiaWell:
         # slots in the legacy layout (round-5 probe: 159k level-1 at
         # x3.54); 8-slot blocks hold such rows in 1-2 blocks
         mean_rest = rest.nnz / max(rest.nrows, 1)
-        blk = 4 if mean_rest <= 8.0 else (8 if mean_rest <= 20.0 else 16)
+        blk = 4 if mean_rest <= 8.0 else 8
         well = WELL.from_csr(
             rest, dtype=dtype, **{"block": blk, **well_kw}
         )
@@ -167,7 +173,7 @@ def try_hybrid_or_well(csr: CSR, dtype=jnp.float32, **well_kw):
     try:
         if "block" not in well_kw:
             mean = csr.nnz / max(csr.nrows, 1)
-            blk = 4 if mean <= 6.0 else (8 if mean <= 20.0 else 16)
+            blk = 4 if mean <= 6.0 else 8
             well_kw = {"block": blk, **well_kw}
         return WELL.from_csr(csr, dtype=dtype, **well_kw)
     except WellUnsupported:

@@ -248,10 +248,9 @@ class WELL:
 
     q: jax.Array
     qv: jax.Array
-    # per-vreg group count (stage A trip count): 3-D RCM bands give a
-    # mean span of ~24 window groups with boundary outliers at ~118;
-    # looping the global max for every vreg (round-4 kernel) cost the
-    # 1M 3-D fine SpMV ~2 ms of masked gathers over empty groups
+    # per-vreg group count (diagnostics; the kernel's stage-A loop is
+    # static — a dynamic per-vreg fori_loop trip count measured ~20+
+    # cycles/iteration of Mosaic loop overhead, round 5)
     ngv: jax.Array
     gt: jax.Array
     pt: jax.Array
@@ -301,6 +300,15 @@ class WELL:
     # Requires (vregs*8*g) % 1024 == 0 (the g-selection loop enforces
     # it when compact is requested).
     compact: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    # sparse window groups (round 5): per-vreg per-tile SMEM list of
+    # the USED 8-row x2d window groups; stage A gathers only those.
+    # Removes the 1024-row contiguous-window cap (wide-band matrices:
+    # 1M 3-D elasticity, smoothed-SA restrictions) and cuts stage A to
+    # actual usage.  gmap is (T, F*ngs) int32; None = dense windows.
+    gmap: jax.Array = None
+    sparse_groups: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
     # identity-route tail-unit split of record (-1 = derive the legacy
@@ -357,6 +365,9 @@ class WELL:
             return jnp.stack([self.mv(x[:, j]) for j in range(x.shape[1])], 1)
         return self.mv(x)
 
+    def mm(self, xs: jax.Array) -> jax.Array:
+        return self.__call__(xs)
+
     def __repr__(self):
         slots = int(np.prod(self.data.shape))
         return (
@@ -364,7 +375,7 @@ class WELL:
             f"(x{slots / max(self.nnz, 1):.2f}), block={self.block}, "
             f"groups={self.n_groups}, passes={self.n_passes}, "
             f"extras={self.n_extras}, compact={self.compact}, "
-            f"dtype={self.dtype})"
+            f"sg={self.sparse_groups}, dtype={self.dtype})"
         )
 
     # ------------------------------------------------------------------
@@ -382,6 +393,7 @@ class WELL:
         inkernel_extras: bool = True,
         compact: bool | None = None,
         unit_split: tuple | None = None,
+        sparse_groups: bool | None = None,
     ) -> "WELL":
         """Build from host CSR.  Raises WellUnsupported when the matrix
         is not band-structured enough (callers fall back to ELL).
@@ -402,9 +414,32 @@ class WELL:
                         rows_per_vrow=rows_per_vrow, idroute=idroute,
                         inkernel_extras=inkernel_extras, compact=compact,
                         unit_split=unit_split,
+                        sparse_groups=sparse_groups,
                     )
                 except WellUnsupported as e:
                     err = e
+            # spill-bound failures: the g cost scan prices slot/stream
+            # budgets but cannot foresee per-lane TABLE/pass pressure —
+            # block-structured matrices (elasticity: columns arrive in
+            # block_size-consecutive runs) overflow the 8-deep lane
+            # stacks at shared g (measured: the 1M elasticity remainder
+            # spilled 15.5% at g=2 and fit at g=1).  Step g down before
+            # giving up.
+            if rows_per_vrow is None:
+                for g_try in (2, 1):
+                    try:
+                        return WELL.from_csr(
+                            csr, dtype=dtype, vregs_per_tile=32,
+                            block=block, max_passes=max_passes,
+                            max_span_rows=max_span_rows,
+                            max_spill_frac=max_spill_frac,
+                            rows_per_vrow=g_try, idroute=idroute,
+                            inkernel_extras=inkernel_extras,
+                            compact=compact, unit_split=unit_split,
+                            sparse_groups=sparse_groups,
+                        )
+                    except WellUnsupported as e:
+                        err = e
             raise err
         assert block in (4, 8, 16) and max_passes <= MAX_PASSES
         bpv = LANES // block  # blocks per vreg-row
@@ -547,15 +582,27 @@ class WELL:
                             g, g_cost, g_split = cand, cost_c, sp_best
                         continue
                     else:
+                        # legacy layout: same cost-argmin as idroute —
+                        # the round-4 first-fit rejected every sharing
+                        # g on variance (0.5% budget) and fell to g=1
+                        # (x3.07 slots measured on the 1M elasticity
+                        # fine level)
                         demand = np.concatenate([
                             np.minimum(nb_full, bpv),
                             np.zeros(pad_rows, np.int64),
                         ])
                         gsum = demand.reshape(n_groups, cand).sum(axis=1)
                         over = np.maximum(gsum - bpv, 0).sum() * block
-                    if over <= max(max_spill_frac * nnz / 4, 0.0):
-                        g = cand
-                        break
+                        if over > max_spill_frac * nnz:
+                            continue
+                        cost_c = (
+                            n_groups * LANES * (8.0 + vpu_per_slot)
+                            + over * 6000.0
+                            + (1e8 if over > 0 else 0.0)
+                        )
+                        if g is None or cost_c < g_cost:
+                            g, g_cost = cand, cost_c
+                        continue
                 if g is not None:
                     break
             if (
@@ -591,6 +638,7 @@ class WELL:
                                 rows_per_vrow=None, idroute=False,
                                 inkernel_extras=inkernel_extras,
                                 compact=False,
+                                sparse_groups=sparse_groups,
                             )
                         break
             if g is None:
@@ -606,6 +654,7 @@ class WELL:
                         max_spill_frac=max_spill_frac,
                         rows_per_vrow=rows_per_vrow, idroute=False,
                         inkernel_extras=inkernel_extras,
+                        sparse_groups=sparse_groups,
                     )
                 raise WellUnsupported(
                     "row density too irregular for WELL"
@@ -758,123 +807,224 @@ class WELL:
         pair_ok = stack < TABLE_ROWS
 
         # ---- per-vreg windows ----------------------------------------
-        vmin = np.full(nv_pad, np.int64(ncols), dtype=np.int64)
-        vmax = np.zeros(nv_pad, dtype=np.int64)
-        np.minimum.at(vmin, pv, pc)
-        np.maximum.at(vmax, pv, pc)
-        has_pairs = vmax >= vmin
-        qv = np.where(has_pairs, (vmin // LANES) & ~np.int64(7), 0)
-        span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
-        # clamp windows inside ceil8(ncols/128) x2d rows: an 8-aligned
-        # window whose end pokes past the matrix width forces x2d_rows >
-        # ceil(ncols/128), and the resulting jnp.pad of x copies the
-        # ENTIRE vector (~10 us of the 1M mv glue, MEASURED.md round-4
-        # budget).  Shifting a window down keeps coverage (length is
-        # unchanged, vmax//128 < lim) and 8-alignment (lim8 and 8*ng
-        # are both multiples of 8).
-        lim8 = -(-(-(-ncols // LANES)) // 8) * 8
-        ng_pre = (span + 7) // 8
-        qv = np.minimum(qv, np.maximum(lim8 - 8 * ng_pre, 0))
-        span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
-        cap_hard = min(max_span_rows, 1024)
-        # soft span cap: the kernel's stage-A loop length is the GLOBAL
-        # max group count — boundary outlier vregs (3-D RCM bands: mean
-        # span ~24 groups, outliers ~118) would make EVERY vreg pay
-        # their stage-A program length (~2 ms of gathers over empty
-        # groups at 1M 3-D).  Choose the tightest cap near the typical
-        # span whose spilled entries fit the extras budget; spilled
-        # pairs ride the in-kernel extras table / XLA path.
-        cap = cap_hard
-        if has_pairs.any():
-            spill_budget = max(0.015 * nnz, 4096)
-            quants = [
-                float(np.percentile(span[has_pairs], q))
-                for q in (50, 75, 90, 97, 99.5)
-            ]
-            cand_caps = sorted(dict.fromkeys(
-                int(min(cap_hard, max(8 * -(-int(qv_) // 8), 16)))
-                for qv_ in quants
-            ))
-            for cand_cap in cand_caps:
-                over_c = np.flatnonzero(span > cand_cap)
-                if len(over_c) == 0:
-                    cap = cand_cap
-                    break
-                starts_c = np.searchsorted(pv, over_c)
-                ends_c = np.searchsorted(pv, over_c, side="right")
-                med_c = pc[
-                    np.minimum((starts_c + ends_c) // 2, len(pc) - 1)
+        # SPARSE WINDOW GROUPS (round 5): when the whole x2d fits the
+        # kernel's resident-VMEM budget, each vreg carries an explicit
+        # per-tile SMEM list of the 8-row window groups it actually
+        # touches, and stage A gathers only those.  This (a) removes the
+        # 1024-row contiguous-window cap entirely — wide-band matrices
+        # (1M 3-D elasticity: ~±150k-column bands; smoothed-SA
+        # restrictions: hub supports) previously spilled 15%+ and fell
+        # off the fast path — and (b) cuts stage A to USED groups (the
+        # elasticity fine level touches ~20-40 groups per vreg across a
+        # 1500-row span).  Dense contiguous windows remain for blocked-x
+        # (huge shards) and halo builds.
+        import os as _os
+
+        lim = -(-ncols // LANES)
+        lim8 = -(-lim // 8) * 8
+        cap_mb = float(
+            _os.environ.get("TPU_AMG_WELL_RESIDENT_MB", "8")
+        )
+        ngs_cap = 120  # amap grp field: 7 bits (<< 3 | eta <= 1023)
+        use_sparse_groups = (
+            sparse_groups
+            if sparse_groups is not None
+            else lim8 * LANES * 4 <= cap_mb * 1e6
+        )
+        if use_sparse_groups:
+            ag = pc // np.int64(8 * LANES)
+            vg_key = pv * np.int64(1 << 24) + ag
+            assert lim8 // 8 < (1 << 24)
+            uvg, vg_inv = _sorted_unique_inverse(vg_key)
+            g_pv = uvg >> 24
+            g_ag = uvg & np.int64((1 << 24) - 1)
+            cnt = np.bincount(vg_inv, minlength=len(uvg))
+            used_per_v = np.bincount(g_pv, minlength=nv_pad)
+            ngs = int(min(max(int(used_per_v.max(initial=1)), 1), ngs_cap))
+            drop_g = np.zeros(len(uvg), dtype=bool)
+            for vv in np.flatnonzero(used_per_v > ngs):
+                s0 = np.searchsorted(g_pv, vv)
+                s1 = np.searchsorted(g_pv, vv, side="right")
+                idxs = np.arange(s0, s1)
+                keep_k = idxs[
+                    np.argsort(-cnt[idxs], kind="stable")[:ngs]
                 ]
-                cap8_c = -(-cand_cap // 8) * 8
-                qv_c = np.clip(
-                    (med_c // LANES - cand_cap // 2) & ~np.int64(7),
-                    0, max(lim8 - cap8_c, 0),
+                dd = np.ones(s1 - s0, dtype=bool)
+                dd[keep_k - s0] = False
+                drop_g[idxs] = dd
+            kept_g = ~drop_g
+            kk = kept_g.astype(np.int64)
+            csum = np.cumsum(kk) - kk
+            newv = np.concatenate([[True], g_pv[1:] != g_pv[:-1]])
+            vstart = np.maximum.accumulate(
+                np.where(newv, np.arange(len(uvg)), 0)
+            )
+            base_v = csum[vstart]
+            ordv = csum - base_v
+            pair_ok &= kept_g[vg_inv]
+            gmap_np = np.zeros((nv_pad, ngs), dtype=np.int64)
+            gsel = np.flatnonzero(kept_g)
+            gmap_np[g_pv[gsel], ordv[gsel]] = g_ag[gsel]
+            ng_v = np.minimum(used_per_v, ngs)
+            NG = int(max(ng_v.max(initial=1), 1))
+            hi_pair = ordv[vg_inv] * 8 + (pc // LANES) % 8
+            qv = np.zeros(nv_pad, dtype=np.int64)
+            q_t = np.zeros(t_count, dtype=np.int64)
+            win_rows = 8
+            x2d_rows = int(lim8)
+
+            # entries through dropped pairs spill
+            keep_idx = np.flatnonzero(keep)
+            e_ok = pair_ok[pair_inv]
+            keep[keep_idx[~e_ok]] = False
+            kept_pairs = pair_inv[e_ok]
+            ke = keep_idx[e_ok]
+
+            amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int64)
+            okp = np.flatnonzero(pair_ok)
+            amap[pv[okp], stack[okp], plam[okp]] = hi_pair[okp]
+        else:
+            gmap_np = None
+            ngs = 0
+            vmin = np.full(nv_pad, np.int64(ncols), dtype=np.int64)
+            vmax = np.zeros(nv_pad, dtype=np.int64)
+            np.minimum.at(vmin, pv, pc)
+            np.maximum.at(vmax, pv, pc)
+            has_pairs = vmax >= vmin
+            qv = np.where(has_pairs, (vmin // LANES) & ~np.int64(7), 0)
+            span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
+            # clamp windows inside ceil8(ncols/128) x2d rows: an 8-aligned
+            # window whose end pokes past the matrix width forces x2d_rows >
+            # ceil(ncols/128), and the resulting jnp.pad of x copies the
+            # ENTIRE vector (~10 us of the 1M mv glue, MEASURED.md round-4
+            # budget).  Shifting a window down keeps coverage (length is
+            # unchanged, vmax//128 < lim) and 8-alignment (lim8 and 8*ng
+            # are both multiples of 8).
+            lim8 = -(-(-(-ncols // LANES)) // 8) * 8
+            ng_pre = (span + 7) // 8
+            qv = np.minimum(qv, np.maximum(lim8 - 8 * ng_pre, 0))
+            span = np.where(has_pairs, vmax // LANES - qv + 1, 1)
+            cap_hard = min(max_span_rows, 1024)
+            # soft span cap: the kernel's stage-A loop length is the GLOBAL
+            # max group count — boundary outlier vregs (3-D RCM bands: mean
+            # span ~24 groups, outliers ~118) would make EVERY vreg pay
+            # their stage-A program length (~2 ms of gathers over empty
+            # groups at 1M 3-D).  Choose the tightest cap near the typical
+            # span whose spilled entries fit the extras budget; spilled
+            # pairs ride the in-kernel extras table / XLA path.
+            cap = cap_hard
+            if has_pairs.any():
+                # the kernel's stage-A loop pays max(ng) for EVERY vreg
+                # (~0.6 KB-of-stream-equivalent per vreg per group), so
+                # truncating outlier windows is worth spilled entries
+                # (~6 KB each) — but ONLY when the span distribution has a
+                # tail to cut: a q50 cap on the 1M 3-D fine level (tight
+                # bandwidth-driven spans, median ≈ max) spilled 120k extra
+                # entries for zero NG reduction (round-5 hardware).
+                # Evaluate each candidate's (stage-A + spill) cost and keep
+                # the argmin; cap_hard (no spill) is always a candidate.
+                spill_budget = max(0.015 * nnz, 4096)
+                span_max = int(span.max())
+                nv_real = int(has_pairs.sum())
+                quants = [
+                    float(np.percentile(span[has_pairs], q))
+                    for q in (50, 75, 90, 97, 99.5)
+                ]
+                cand_caps = sorted(dict.fromkeys(
+                    [
+                        int(min(cap_hard, max(8 * -(-int(qv_) // 8), 16)))
+                        for qv_ in quants
+                    ]
+                    + [min(cap_hard, -(-span_max // 8) * 8)]
+                ))
+                best_cost = None
+                for cand_cap in cand_caps:
+                    over_c = np.flatnonzero(span > cand_cap)
+                    if len(over_c) == 0:
+                        n_sp = 0
+                    else:
+                        starts_c = np.searchsorted(pv, over_c)
+                        ends_c = np.searchsorted(pv, over_c, side="right")
+                        med_c = pc[
+                            np.minimum((starts_c + ends_c) // 2, len(pc) - 1)
+                        ]
+                        cap8_c = -(-cand_cap // 8) * 8
+                        qv_c = np.clip(
+                            (med_c // LANES - cand_cap // 2) & ~np.int64(7),
+                            0, max(lim8 - cap8_c, 0),
+                        )
+                        qq = np.full(nv_pad, np.int64(-1))
+                        qq[over_c] = qv_c
+                        relc = pc // LANES - qq[pv]
+                        badp = (
+                            (qq[pv] >= 0)
+                            & ((relc < 0) | (relc >= cand_cap))
+                        )
+                        n_sp = int(badp[pair_inv].sum())
+                    if n_sp > spill_budget:
+                        continue
+                    ng_eff = -(-min(span_max, cand_cap) // 8)
+                    cost_c = nv_real * ng_eff * 600.0 + n_sp * 6000.0
+                    if best_cost is None or cost_c < best_cost:
+                        best_cost, cap = cost_c, cand_cap
+            over_v = np.flatnonzero(span > cap)
+            if len(over_v):
+                # boundary outlier vregs (e.g. smoothed-SA restriction rows
+                # whose aggregate support jumps the RCM band): place a
+                # median-centered cap-sized window and SPILL the pairs
+                # outside it instead of rejecting the whole matrix —
+                # round-4 behavior killed the 1M 3-D restriction build on
+                # one 459904-column vreg while its mean span was ~3% of
+                # that.  upairs are sorted by (vreg, col), so each vreg's
+                # pairs form a contiguous run and the run middle is its
+                # median column.
+                starts = np.searchsorted(pv, over_v)
+                ends = np.searchsorted(pv, over_v, side="right")
+                med = pc[np.minimum((starts + ends) // 2, len(pc) - 1)]
+                cap8 = -(-cap // 8) * 8
+                qv[over_v] = np.clip(
+                    (med // LANES - cap // 2) & ~np.int64(7),
+                    0, max(lim8 - cap8, 0),
                 )
-                qq = np.full(nv_pad, np.int64(-1))
-                qq[over_c] = qv_c
-                relc = pc // LANES - qq[pv]
-                badp = (qq[pv] >= 0) & ((relc < 0) | (relc >= cand_cap))
-                if int(badp[pair_inv].sum()) <= spill_budget:
-                    cap = cand_cap
-                    break
-        over_v = np.flatnonzero(span > cap)
-        if len(over_v):
-            # boundary outlier vregs (e.g. smoothed-SA restriction rows
-            # whose aggregate support jumps the RCM band): place a
-            # median-centered cap-sized window and SPILL the pairs
-            # outside it instead of rejecting the whole matrix —
-            # round-4 behavior killed the 1M 3-D restriction build on
-            # one 459904-column vreg while its mean span was ~3% of
-            # that.  upairs are sorted by (vreg, col), so each vreg's
-            # pairs form a contiguous run and the run middle is its
-            # median column.
-            starts = np.searchsorted(pv, over_v)
-            ends = np.searchsorted(pv, over_v, side="right")
-            med = pc[np.minimum((starts + ends) // 2, len(pc) - 1)]
-            cap8 = -(-cap // 8) * 8
-            qv[over_v] = np.clip(
-                (med // LANES - cap // 2) & ~np.int64(7),
-                0, max(lim8 - cap8, 0),
-            )
-            span[over_v] = min(cap, lim8)
-            rel_p = pc // LANES - qv[pv]
-            pair_ok &= (rel_p >= 0) & (rel_p < cap)
-        # reject truly unbanded matrices: stage A cost is linear in the
-        # vreg span, so a span comparable to the full matrix width means
-        # the windowed gather degenerates (the absolute 1024-row cap
-        # alone admits any matrix below ~131k columns)
-        col_span = (vmax - vmin + 1)[has_pairs]
-        mean_span = float(col_span.mean()) if has_pairs.any() else 0.0
-        if mean_span > 0.35 * ncols and ncols > 16 * LANES:
-            raise WellUnsupported(
-                f"mean vreg column span {mean_span:.0f} is "
-                f"{mean_span / ncols:.0%} of the matrix width; "
-                "not band-structured (RCM it)"
-            )
-        ng_v = (span + 7) // 8
-        NG = int(ng_v.max())
+                span[over_v] = min(cap, lim8)
+                rel_p = pc // LANES - qv[pv]
+                pair_ok &= (rel_p >= 0) & (rel_p < cap)
+            # reject truly unbanded matrices: stage A cost is linear in the
+            # vreg span, so a span comparable to the full matrix width means
+            # the windowed gather degenerates (the absolute 1024-row cap
+            # alone admits any matrix below ~131k columns)
+            col_span = (vmax - vmin + 1)[has_pairs]
+            mean_span = float(col_span.mean()) if has_pairs.any() else 0.0
+            if mean_span > 0.35 * ncols and ncols > 16 * LANES:
+                raise WellUnsupported(
+                    f"mean vreg column span {mean_span:.0f} is "
+                    f"{mean_span / ncols:.0%} of the matrix width; "
+                    "not band-structured (RCM it)"
+                )
+            ng_v = (span + 7) // 8
+            NG = int(ng_v.max())
 
-        # entries through dropped pairs spill
-        keep_idx = np.flatnonzero(keep)
-        e_ok = pair_ok[pair_inv]
-        keep[keep_idx[~e_ok]] = False
-        kept_pairs = pair_inv[e_ok]
-        ke = keep_idx[e_ok]  # kept entry indices into the raw COO
+            # entries through dropped pairs spill
+            keep_idx = np.flatnonzero(keep)
+            e_ok = pair_ok[pair_inv]
+            keep[keep_idx[~e_ok]] = False
+            kept_pairs = pair_inv[e_ok]
+            ke = keep_idx[e_ok]  # kept entry indices into the raw COO
 
-        # tile window (blocked/dma x modes) + x2d extent
-        q_t = qv.reshape(t_count, f).min(axis=1)
-        win_end = (qv + 8 * ng_v).reshape(t_count, f).max(axis=1)
-        win_rows = int((win_end - q_t).max())
-        win_rows = -(-win_rows // 8) * 8
-        x2d_rows = int((qv + 8 * ng_v).max())
-        x2d_rows = max(x2d_rows, -(-ncols // LANES))
-        x2d_rows = -(-x2d_rows // 8) * 8
+            # tile window (blocked/dma x modes) + x2d extent
+            q_t = qv.reshape(t_count, f).min(axis=1)
+            win_end = (qv + 8 * ng_v).reshape(t_count, f).max(axis=1)
+            win_rows = int((win_end - q_t).max())
+            win_rows = -(-win_rows // 8) * 8
+            x2d_rows = int((qv + 8 * ng_v).max())
+            x2d_rows = max(x2d_rows, -(-ncols // LANES))
+            x2d_rows = -(-x2d_rows // 8) * 8
 
-        # ---- amap (window row of table slot, relative to qv) ---------
-        amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int64)
-        ok = np.flatnonzero(pair_ok)
-        hi = pc[ok] // LANES - qv[pv[ok]]
-        amap[pv[ok], stack[ok], plam[ok]] = hi
+            # ---- amap (window row of table slot, relative to qv) ---------
+            amap = np.zeros((nv_pad, TABLE_ROWS, LANES), dtype=np.int64)
+            ok = np.flatnonzero(pair_ok)
+            hi = pc[ok] // LANES - qv[pv[ok]]
+            amap[pv[ok], stack[ok], plam[ok]] = hi
 
         # ---- pass ids + rho -------------------------------------------
         vm_k = vm[ke]  # global vreg-row per kept entry
@@ -1090,13 +1240,16 @@ class WELL:
                 ex_q_a = exq
                 # blocked x mode streams [q_t, q_t + win_rows) per
                 # tile; widen the tile windows to cover the extras
-                q_t = np.where(has_ex, np.minimum(q_t, exq), q_t)
-                end_all = np.maximum(
-                    win_end,
-                    np.where(has_ex, exq + 8 * n_ex_groups, 0),
-                )
-                win_rows = int((end_all - q_t).max())
-                win_rows = -(-win_rows // 8) * 8
+                # (sparse-group layouts are resident-only — no tile
+                # window to widen)
+                if gmap_np is None:
+                    q_t = np.where(has_ex, np.minimum(q_t, exq), q_t)
+                    end_all = np.maximum(
+                        win_end,
+                        np.where(has_ex, exq + 8 * n_ex_groups, 0),
+                    )
+                    win_rows = int((end_all - q_t).max())
+                    win_rows = -(-win_rows // 8) * 8
                 ex = np.flatnonzero(~keep)
         ex_urows, ex_seg = np.unique(rows_of[ex], return_inverse=True)
 
@@ -1105,6 +1258,14 @@ class WELL:
                 a.reshape((t_count,) + inner).astype(dt)
             )
 
+        if gmap_np is not None:
+            gmap_pad = np.zeros((t_count * f, ngs), dtype=np.int64)
+            gmap_pad[: gmap_np.shape[0]] = gmap_np
+            gmap_j = jnp.asarray(
+                gmap_pad.reshape(t_count, 1, f * ngs), dtype=jnp.int32
+            )
+        else:
+            gmap_j = jnp.zeros((t_count, 1, f), dtype=jnp.int32)
         return WELL(
             q=jnp.asarray(q_t, dtype=jnp.int32),
             qv=jnp.asarray(qv, dtype=jnp.int32),
@@ -1142,6 +1303,8 @@ class WELL:
             idroute=idroute,
             bcols=int(bcols) if idroute else 0,
             compact=bool(use_compact and idroute),
+            gmap=gmap_j,
+            sparse_groups=bool(gmap_np is not None),
             up4=int(p4) if idroute else -1,
             up2=int(p2) if idroute else -1,
             up1=int(p1) if idroute else -1,
